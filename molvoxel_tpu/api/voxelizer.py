@@ -1,0 +1,542 @@
+"""Public voxelizer API mirroring the reference surface.
+
+``Voxelizer`` exposes the same methods, argument orders and defaults as the
+reference ``BaseVoxelizer`` family
+(/root/reference/molvoxel/voxelizer/base/voxelizer.py:9-176 and
+numpy/voxelizer.py:18-587), while the compute underneath is one jit-compiled
+JAX path shared by every mode:
+
+- ``forward(coords, center, channels, radii, ...)`` dispatches to
+  single / types / features on ``channels`` being None / 1-D / 2-D, exactly
+  like the reference (base/voxelizer.py:101-130).
+- ``forward_types`` renders integer types through one-hot weights — a matmul
+  instead of the reference torch backend's ``scatter_add_``
+  (torch/voxelizer.py:378), because scatter serializes on TPU and matmul is
+  MXU-native.
+- ``out_grid`` keeps the reference in-place contract for host arrays: when a
+  numpy ``out_grid`` is passed the result is copied into it and the same
+  object is returned (asserted by /root/reference/test/test_run_numpy.py:46-47).
+- RNG: the reference consumes the global numpy RNG
+  (numpy/transform.py:26, _quaternion.py:14); here each ``Voxelizer`` owns an
+  explicit ``jax.random`` key chain (constructor ``seed=``), and every forward
+  accepts an optional ``key=`` for fully reproducible augmentation.
+
+Deviations (all deliberate, SURVEY.md sections 2.6/7.3):
+- All compute is float32 by default (the reference forces float64 through
+  scipy ``cdist``); ``precision=64`` is honored when jax x64 is enabled.
+- Types arrays are int32 (reference: int16) — int32 is the native TPU int.
+- Mutating ``radii_type``/``density_type`` properties rebuilds the frozen
+  config; each distinct config compiles (and caches) its own XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import GridSpec, VoxelizerConfig, atom_bucket
+from ..core.transform import RandomTransform, do_random_transform
+from ..ops.voxelize import default_impl, voxelize
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "density_type", "sigma", "random_rotation", "channelwise", "impl"),
+)
+def _pipeline(
+    coords,
+    weights,
+    radii,
+    mask,
+    center,
+    key,
+    random_translation,
+    *,
+    spec,
+    density_type,
+    sigma,
+    random_rotation,
+    channelwise,
+    impl,
+):
+    """center-shift -> random rigid transform -> deposit.
+
+    Stage order matches the reference forward pipeline
+    (/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:120-167).
+    """
+    coords = coords - center[None, :].astype(coords.dtype)
+    coords = do_random_transform(key, coords, None, random_translation, random_rotation)
+    return voxelize(
+        coords,
+        weights,
+        radii,
+        spec=spec,
+        density_type=density_type,
+        sigma=sigma,
+        mask=mask,
+        channelwise_radii=channelwise,
+        impl=impl,
+    )
+
+
+class Voxelizer:
+    """Drop-in style voxelizer with a single TPU-first compute path."""
+
+    LIB = "JAX"
+    RADII_TYPE_LIST = ["scalar", "channel-wise", "atom-wise"]
+    DENSITY_TYPE_LIST = ["gaussian", "binary"]
+    transform_class = RandomTransform
+
+    def __init__(
+        self,
+        resolution: float = 0.5,
+        dimension: int = 64,
+        radii_type: str = "scalar",
+        density_type: str = "gaussian",
+        precision: int = 32,
+        blockdim: int | None = None,  # accepted for reference compat; tiling is automatic
+        device: str | None = None,  # accepted for reference compat (torch/voxelizer.py:73-88)
+        seed: int | None = None,
+        impl: str = "auto",
+        **kwargs,
+    ):
+        assert radii_type in self.RADII_TYPE_LIST
+        assert density_type in self.DENSITY_TYPE_LIST
+        assert precision in (32, 64)
+        sigma = kwargs.get("sigma", 0.5)
+        self._config = VoxelizerConfig(
+            grid=GridSpec(resolution=resolution, dimension=dimension),
+            radii_type=radii_type,
+            density_type=density_type,
+            sigma=sigma,
+            precision=precision,
+        )
+        self._impl = impl
+        self._device = device
+        if precision == 64 and not jax.config.read("jax_enable_x64"):
+            self.fp = np.float32
+        else:
+            self.fp = np.float32 if precision == 32 else np.float64
+        if seed is None:
+            # Loose compat with the reference's use of the global numpy RNG:
+            # seeding numpy makes this voxelizer's augmentation reproducible too.
+            seed = int(np.random.randint(0, 2**31 - 1))
+        self._key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------ config
+
+    @property
+    def config(self) -> VoxelizerConfig:
+        return self._config
+
+    @property
+    def spec(self) -> GridSpec:
+        return self._config.grid
+
+    @property
+    def resolution(self) -> float:
+        return self._config.grid.resolution
+
+    @property
+    def dimension(self) -> int:
+        return self._config.grid.dimension
+
+    @property
+    def width(self) -> float:
+        return self._config.grid.width
+
+    @property
+    def upper_bound(self) -> float:
+        return self._config.grid.upper_bound
+
+    @property
+    def lower_bound(self) -> float:
+        return self._config.grid.lower_bound
+
+    @property
+    def spatial_dimension(self) -> tuple[int, int, int]:
+        return self._config.grid.spatial_dimension
+
+    def grid_dimension(self, num_channels: int) -> tuple[int, int, int, int]:
+        return self._config.grid.grid_dimension(num_channels)
+
+    @property
+    def radii_type(self) -> str:
+        return self._config.radii_type
+
+    @radii_type.setter
+    def radii_type(self, radii_type: str):
+        assert radii_type in self.RADII_TYPE_LIST
+        import dataclasses
+
+        self._config = dataclasses.replace(self._config, radii_type=radii_type)
+
+    @property
+    def density_type(self) -> str:
+        return self._config.density_type
+
+    @density_type.setter
+    def density_type(self, density_type: str):
+        assert density_type in self.DENSITY_TYPE_LIST
+        import dataclasses
+
+        self._config = dataclasses.replace(self._config, density_type=density_type)
+
+    @property
+    def sigma(self) -> float:
+        return self._config.sigma
+
+    @sigma.setter
+    def sigma(self, sigma: float):
+        import dataclasses
+
+        self._config = dataclasses.replace(self._config, sigma=float(sigma))
+
+    @property
+    def is_radii_type_scalar(self):
+        return self._config.is_radii_type_scalar
+
+    @property
+    def is_radii_type_channel_wise(self):
+        return self._config.is_radii_type_channel_wise
+
+    @property
+    def is_radii_type_atom_wise(self):
+        return self._config.is_radii_type_atom_wise
+
+    @property
+    def is_density_type_gaussian(self):
+        return self._config.is_density_type_gaussian
+
+    @property
+    def is_density_type_binary(self):
+        return self._config.is_density_type_binary
+
+    # ------------------------------------------------------------------- utils
+
+    def get_empty_grid(self, num_channels: int, batch_size: int | None = None, init_zero: bool = False) -> np.ndarray:
+        shape = self.grid_dimension(num_channels)
+        if batch_size is not None:
+            shape = (batch_size,) + shape
+        return np.zeros(shape, dtype=self.fp) if init_zero else np.empty(shape, dtype=self.fp)
+
+    def asarray(self, array, obj: str) -> np.ndarray:
+        """Coerce to the dtype policy (reference: numpy/voxelizer.py:576-583)."""
+        if obj in ("coords", "center", "features", "radii"):
+            return np.asarray(array, dtype=self.fp)
+        elif obj == "types":
+            return np.asarray(array, dtype=np.int32)
+        raise ValueError("obj should be ['coords', 'center', 'radii', 'types', 'features']")
+
+    def next_key(self) -> jax.Array:
+        """Advance and return the internal PRNG key chain."""
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @staticmethod
+    def do_random_transform(coords, center, random_translation, random_rotation, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(int(np.random.randint(0, 2**31 - 1)))
+        return do_random_transform(key, jnp.asarray(coords), center, random_translation, random_rotation)
+
+    # ----------------------------------------------------------------- forward
+
+    def forward(
+        self,
+        coords,
+        center,
+        channels,
+        radii,
+        random_translation: float = 0.0,
+        random_rotation: bool = False,
+        out_grid=None,
+        key=None,
+    ):
+        if channels is None:
+            return self.forward_single(coords, center, radii, random_translation, random_rotation, out_grid, key)
+        channels = np.asarray(channels)
+        if channels.ndim == 1:
+            return self.forward_types(
+                coords, center, channels, radii, random_translation, random_rotation, out_grid, key
+            )
+        return self.forward_features(
+            coords, center, channels, radii, random_translation, random_rotation, out_grid, key
+        )
+
+    __call__ = forward
+
+    def forward_features(
+        self,
+        coords,
+        center,
+        features,
+        radii,
+        random_translation: float = 0.0,
+        random_rotation: bool = False,
+        out_grid=None,
+        key=None,
+    ):
+        coords = np.asarray(coords, dtype=self.fp)
+        features = np.asarray(features, dtype=self.fp)
+        self._check_args_features(coords, features, radii, out_grid)
+        v, c = features.shape
+
+        vp = atom_bucket(v)
+        coords_p, mask = _pad_coords(coords, vp, self.fp)
+        weights_p = _pad_rows(features, vp)
+
+        channelwise = self.is_radii_type_channel_wise
+        if channelwise:
+            radii_arr = np.asarray(radii, dtype=self.fp)
+        elif self.is_radii_type_atom_wise:
+            radii_arr = _pad_vec(np.asarray(radii, dtype=self.fp), vp, fill=1.0)
+        else:
+            radii_arr = np.full((vp,), float(radii), dtype=self.fp)
+
+        result = self._run(coords_p, weights_p, radii_arr, mask, center, key, random_translation, random_rotation,
+                           channelwise=channelwise)
+        return _finalize(result, out_grid)
+
+    def forward_types(
+        self,
+        coords,
+        center,
+        types,
+        radii,
+        random_translation: float = 0.0,
+        random_rotation: bool = False,
+        out_grid=None,
+        key=None,
+    ):
+        coords = np.asarray(coords, dtype=self.fp)
+        types = np.asarray(types)
+        self._check_args_types(coords, types, radii, out_grid)
+        v = coords.shape[0]
+
+        # Channel count: explicit out_grid wins; else channel-wise radii define
+        # it; else the data-dependent reference rule C = max(types) + 1
+        # (numpy/voxelizer.py:275-279), resolved host-side so shapes stay static.
+        if out_grid is not None:
+            c = int(np.shape(out_grid)[0])
+        elif self.is_radii_type_channel_wise:
+            c = int(np.asarray(radii).shape[0])
+        else:
+            c = int(types.max()) + 1 if v > 0 else 1
+
+        vp = atom_bucket(v)
+        coords_p, mask = _pad_coords(coords, vp, self.fp)
+        onehot = np.zeros((vp, c), dtype=self.fp)
+        onehot[np.arange(v), types.astype(np.int64)] = 1.0
+        weights_p = onehot
+
+        if self.is_radii_type_channel_wise:
+            # Gather per-atom radii r[type_v] (reference: numpy/voxelizer.py:284-286)
+            radii_arr = _pad_vec(np.asarray(radii, dtype=self.fp)[types.astype(np.int64)], vp, fill=1.0)
+        elif self.is_radii_type_atom_wise:
+            radii_arr = _pad_vec(np.asarray(radii, dtype=self.fp), vp, fill=1.0)
+        else:
+            radii_arr = np.full((vp,), float(radii), dtype=self.fp)
+
+        result = self._run(coords_p, weights_p, radii_arr, mask, center, key, random_translation, random_rotation,
+                           channelwise=False)
+        return _finalize(result, out_grid)
+
+    def forward_single(
+        self,
+        coords,
+        center,
+        radii,
+        random_translation: float = 0.0,
+        random_rotation: bool = False,
+        out_grid=None,
+        key=None,
+    ):
+        coords = np.asarray(coords, dtype=self.fp)
+        self._check_args_single(coords, radii, out_grid)
+        v = coords.shape[0]
+
+        vp = atom_bucket(v)
+        coords_p, mask = _pad_coords(coords, vp, self.fp)
+        weights_p = np.zeros((vp, 1), dtype=self.fp)
+        weights_p[:v, 0] = 1.0
+
+        if self.is_radii_type_atom_wise:
+            radii_arr = _pad_vec(np.asarray(radii, dtype=self.fp), vp, fill=1.0)
+        else:
+            radii_arr = np.full((vp,), float(radii), dtype=self.fp)
+
+        result = self._run(coords_p, weights_p, radii_arr, mask, center, key, random_translation, random_rotation,
+                           channelwise=False)
+        return _finalize(result, out_grid)
+
+    # ------------------------------------------------------------------ engine
+
+    def _run(
+        self,
+        coords_p,
+        weights_p,
+        radii_arr,
+        mask,
+        center,
+        key,
+        random_translation,
+        random_rotation,
+        *,
+        channelwise: bool,
+    ):
+        if center is None:
+            center_arr = np.zeros((3,), dtype=self.fp)
+        else:
+            center_arr = np.asarray(center, dtype=self.fp).reshape(3)
+        if key is None:
+            if random_rotation or (random_translation and random_translation > 0.0):
+                key = self.next_key()
+            else:
+                key = jax.random.PRNGKey(0)
+        cfg = self._config
+        return _pipeline(
+            coords_p,
+            weights_p,
+            radii_arr,
+            mask,
+            center_arr,
+            key,
+            np.asarray(random_translation, dtype=self.fp),
+            spec=cfg.grid,
+            density_type=cfg.density_type,
+            sigma=cfg.sigma,
+            random_rotation=bool(random_rotation),
+            channelwise=channelwise,
+            impl=self._impl,
+        )
+
+    # ------------------------------------------------------------------ checks
+    # Same argument contracts as the reference
+    # (/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:171-192,317-343,438-455).
+
+    def _check_args_features(self, coords, features, radii, out_grid=None):
+        v = coords.shape[0]
+        assert features.ndim == 2, f"atom features does not match dimension: {features.shape} vs {(v, '*')}"
+        assert features.shape[0] == v, f"atom features does not match number of atoms: {features.shape[0]} vs {v}"
+        c = features.shape[1]
+        d = self.dimension
+        if self.is_radii_type_scalar:
+            assert np.isscalar(radii), "the radii type of voxelizer is `scalar`, radii should be scalar"
+        elif self.is_radii_type_channel_wise:
+            assert not np.isscalar(radii), f"the radii type of voxelizer is `channel-wise`, radii should be Array[{c},]"
+            assert np.shape(radii) == (c,), f"radii does not match dimension (number of channels,): {np.shape(radii)} vs {(c,)}"
+        else:
+            assert not np.isscalar(radii), f"the radii type of voxelizer is `atom-wise`, radii should be Array[{v},]"
+            assert np.shape(radii) == (v,), f"radii does not match dimension (number of atoms,): {np.shape(radii)} vs {(v,)}"
+        if out_grid is not None:
+            assert np.shape(out_grid) == (c, d, d, d), f"Output grid dimension incorrect: {np.shape(out_grid)} vs {(c, d, d, d)}"
+
+    def _check_args_types(self, coords, types, radii, out_grid=None):
+        v = coords.shape[0]
+        c = int(types.max()) + 1 if v > 0 else 1
+        d = self.dimension
+        assert types.shape == (v,), f"types does not match dimension: {types.shape} vs {(v,)}"
+        if self.is_radii_type_scalar:
+            assert np.isscalar(radii), "the radii type of voxelizer is `scalar`, radii should be scalar"
+        elif self.is_radii_type_channel_wise:
+            assert not np.isscalar(radii), f"the radii type of voxelizer is `channel-wise`, radii should be Array[{c},]"
+            assert np.shape(radii)[0] >= c, f"radii does not cover all types: {np.shape(radii)} vs C>={c}"
+        else:
+            assert not np.isscalar(radii), f"the radii type of voxelizer is `atom-wise`, radii should be Array[{v},]"
+            assert np.shape(radii) == (v,), f"radii does not match dimension (number of atoms,): {np.shape(radii)} vs {(v,)}"
+        if out_grid is not None:
+            assert np.shape(out_grid)[0] >= c, f"Output channel is less than number of types: {np.shape(out_grid)[0]} < {c}"
+            assert np.shape(out_grid)[1:] == (d, d, d), f"Output grid dimension incorrect: {np.shape(out_grid)} vs {('*', d, d, d)}"
+
+    def _check_args_single(self, coords, radii, out_grid=None):
+        v = coords.shape[0]
+        d = self.dimension
+        assert not self.is_radii_type_channel_wise, "Channel-Wise Radii Type is not supported"
+        if self.is_radii_type_scalar:
+            assert np.isscalar(radii), "the radii type of voxelizer is `scalar`, radii should be scalar"
+        else:
+            assert not np.isscalar(radii), f"the radii type of voxelizer is `atom-wise`, radii should be Array[{v},]"
+            assert np.shape(radii) == (v,), f"radii does not match dimension (number of atoms,): {np.shape(radii)} vs {(v,)}"
+        if out_grid is not None:
+            assert np.shape(out_grid)[0] == 1, "Output channel should be 1"
+            assert np.shape(out_grid)[1:] == (d, d, d), f"Output grid dimension incorrect: {np.shape(out_grid)} vs {('*', d, d, d)}"
+
+
+# ------------------------------------------------------------------- helpers
+
+
+def _pad_coords(coords: np.ndarray, vp: int, fp) -> tuple[np.ndarray, np.ndarray]:
+    v = coords.shape[0]
+    out = np.zeros((vp, 3), dtype=fp)
+    out[:v] = coords
+    mask = np.zeros((vp,), dtype=bool)
+    mask[:v] = True
+    return out, mask
+
+
+def _pad_rows(arr: np.ndarray, vp: int) -> np.ndarray:
+    v = arr.shape[0]
+    out = np.zeros((vp,) + arr.shape[1:], dtype=arr.dtype)
+    out[:v] = arr
+    return out
+
+
+def _pad_vec(vec: np.ndarray, vp: int, fill: float = 0.0) -> np.ndarray:
+    v = vec.shape[0]
+    out = np.full((vp,), fill, dtype=vec.dtype)
+    out[:v] = vec
+    return out
+
+
+def _finalize(result: jax.Array, out_grid):
+    """Honor the reference in-place out_grid contract for host arrays."""
+    if out_grid is None:
+        return np.asarray(result)
+    host = np.asarray(result)
+    if isinstance(out_grid, np.ndarray):
+        if host.shape[0] < out_grid.shape[0]:
+            # types path may produce fewer channels than out_grid provides
+            out_grid[: host.shape[0]] = host
+            out_grid[host.shape[0] :] = 0.0
+        else:
+            np.copyto(out_grid, host)
+        return out_grid
+    return host
+
+
+# ------------------------------------------------------------------ factories
+
+
+def create_voxelizer(
+    resolution: float = 0.5,
+    dimension: int = 64,
+    radii_type: str = "scalar",
+    density_type: str = "gaussian",
+    library: str = "jax",
+    **kwargs,
+) -> Voxelizer:
+    """Factory mirroring /root/reference/molvoxel/__init__.py:25-40.
+
+    ``library`` is accepted for source compatibility; all values map to the
+    single JAX compute path ("jax", "numpy", "numba", "torch" are allowed).
+    """
+    assert library in ("jax", "numpy", "numba", "torch")
+    return Voxelizer(resolution, dimension, radii_type, density_type, **kwargs)
+
+
+def create_random_transform(
+    random_translation: float = 0.0,
+    random_rotation: bool = False,
+    library: str = "jax",
+    **kwargs,
+) -> RandomTransform:
+    """Factory mirroring /root/reference/molvoxel/__init__.py:9-22."""
+    assert library in ("jax", "numpy", "numba", "torch")
+    return RandomTransform(random_translation, random_rotation)
+
+
+def default_backend_impl() -> str:
+    return default_impl()

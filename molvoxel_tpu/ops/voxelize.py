@@ -1,0 +1,64 @@
+"""Backend dispatch for the voxelization op.
+
+One logical op, two implementations:
+
+- ``dense``: pure-XLA (ops/dense.py) — runs everywhere, parity reference.
+- ``pallas``: fused TPU kernel (ops/pallas_deposit.py) — the production path
+  on TPU hardware.
+
+``impl="auto"`` picks pallas on TPU backends and dense elsewhere.  This
+replaces the reference's ``library=`` string dispatch between numpy/numba/
+torch classes (/root/reference/molvoxel/__init__.py:33-39): the choice here is
+per-call and purely about which compiled program computes the identical result.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GridSpec
+from .dense import voxelize_dense, voxelize_dense_channelwise
+
+
+def default_impl() -> str:
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "dense"
+
+
+def voxelize(
+    coords: jnp.ndarray,
+    weights: jnp.ndarray,
+    radii: jnp.ndarray,
+    *,
+    spec: GridSpec,
+    density_type: str = "gaussian",
+    sigma: float = 0.5,
+    mask: jnp.ndarray | None = None,
+    channelwise_radii: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Voxelize one point cloud; see ops/dense.py for argument semantics.
+
+    radii is (V,) normally, (C,) when ``channelwise_radii`` is True.
+    """
+    if impl == "auto":
+        impl = default_impl()
+    if impl == "pallas":
+        from .pallas_deposit import voxelize_pallas, voxelize_pallas_channelwise
+
+        if channelwise_radii:
+            return voxelize_pallas_channelwise(
+                coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask
+            )
+        return voxelize_pallas(coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask)
+    elif impl == "dense":
+        if channelwise_radii:
+            return voxelize_dense_channelwise(
+                coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask
+            )
+        return voxelize_dense(coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask)
+    raise ValueError(f"unknown impl {impl!r}; expected 'auto', 'dense' or 'pallas'")
