@@ -1,0 +1,166 @@
+"""Minimal dependency-free molecular file readers (SDF V2000, PDB).
+
+The reference's chemistry layer is RDKit-only (/root/reference/molvoxel/etc/
+rdkit/): without RDKit installed it cannot load a molecule at all.  Here the
+point-cloud pipeline works out of the box on plain structure files; the RDKit
+adapter (data/rdkit_adapter.py) remains available as an optional richer
+front-end (bond perception, sanitization, feature callbacks).
+
+These parsers extract exactly what voxelization needs: coordinates, element
+symbols, and (for SDF) the explicit bond list with order — enough to drive the
+bond-midpoint pseudo-atom feature of the reference point-cloud maker
+(/root/reference/molvoxel/etc/rdkit/pointcloud.py:79-89).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from collections.abc import Iterator
+from pathlib import Path
+
+import numpy as np
+
+# SDF bond-order codes -> canonical bond type names (MDL CTfile spec)
+SDF_BOND_TYPES = {1: "SINGLE", 2: "DOUBLE", 3: "TRIPLE", 4: "AROMATIC"}
+
+
+@dataclasses.dataclass
+class SimpleMolecule:
+    """A parsed molecule: the minimal structure the voxelizer pipeline needs."""
+
+    coords: np.ndarray  # (V, 3) float64
+    symbols: list[str]  # element symbols, len V
+    bonds: list[tuple[int, int, str]] = dataclasses.field(default_factory=list)  # (i, j, bond_type)
+    name: str = ""
+
+    @property
+    def num_atoms(self) -> int:
+        return len(self.symbols)
+
+    @property
+    def num_bonds(self) -> int:
+        return len(self.bonds)
+
+    def bond_midpoints(self) -> np.ndarray:
+        """(num_bonds, 3) midpoints of bonded atom pairs."""
+        if not self.bonds:
+            return np.zeros((0, 3), dtype=self.coords.dtype)
+        i = np.asarray([b[0] for b in self.bonds])
+        j = np.asarray([b[1] for b in self.bonds])
+        return (self.coords[i] + self.coords[j]) / 2.0
+
+    def without_hydrogens(self) -> "SimpleMolecule":
+        keep = [i for i, s in enumerate(self.symbols) if s not in ("H", "D")]
+        remap = {old: new for new, old in enumerate(keep)}
+        bonds = [
+            (remap[i], remap[j], t) for (i, j, t) in self.bonds if i in remap and j in remap
+        ]
+        return SimpleMolecule(
+            coords=self.coords[keep],
+            symbols=[self.symbols[i] for i in keep],
+            bonds=bonds,
+            name=self.name,
+        )
+
+
+def _open_text(path: str | Path):
+    path = Path(path)
+    if path.suffix == ".gz":
+        return gzip.open(path, "rt")
+    return open(path)
+
+
+def read_sdf(path: str | Path) -> SimpleMolecule:
+    """Read the first molecule of an SDF/MOL (V2000) file."""
+    return next(iter_sdf(path))
+
+
+def iter_sdf(path: str | Path) -> Iterator[SimpleMolecule]:
+    """Iterate all molecules in a (possibly multi-record) SDF file."""
+    with _open_text(path) as fh:
+        lines = fh.read().splitlines()
+    start = 0
+    n = len(lines)
+    while start < n:
+        # skip blank padding between records
+        while start < n and not lines[start].strip() and lines[start : start + 1] != []:
+            if start + 3 < n and lines[start + 3].strip():
+                break
+            start += 1
+        if start + 3 >= n:
+            return
+        name = lines[start].strip()
+        counts = lines[start + 3]
+        try:
+            num_atoms = int(counts[0:3])
+            num_bonds = int(counts[3:6])
+        except ValueError:
+            return
+        atom_lines = lines[start + 4 : start + 4 + num_atoms]
+        bond_lines = lines[start + 4 + num_atoms : start + 4 + num_atoms + num_bonds]
+        coords = np.empty((num_atoms, 3), dtype=np.float64)
+        symbols: list[str] = []
+        for i, line in enumerate(atom_lines):
+            coords[i, 0] = float(line[0:10])
+            coords[i, 1] = float(line[10:20])
+            coords[i, 2] = float(line[20:30])
+            symbols.append(line[31:34].strip())
+        bonds: list[tuple[int, int, str]] = []
+        for line in bond_lines:
+            i = int(line[0:3]) - 1
+            j = int(line[3:6]) - 1
+            order = int(line[6:9])
+            bonds.append((i, j, SDF_BOND_TYPES.get(order, "SINGLE")))
+        yield SimpleMolecule(coords=coords, symbols=symbols, bonds=bonds, name=name)
+        # advance to after "M  END" / "$$$$"
+        pos = start + 4 + num_atoms + num_bonds
+        while pos < n and lines[pos].strip() != "$$$$":
+            pos += 1
+        start = pos + 1
+
+
+_PDB_TWO_LETTER = {
+    "BR", "CL", "FE", "ZN", "MG", "MN", "CA", "NA", "CU", "NI", "CO", "SE", "CD", "HG", "AS", "LI", "AL", "SI",
+}
+
+
+def _pdb_element(line: str) -> str:
+    # columns 77-78 hold the element when present
+    if len(line) >= 78:
+        elem = line[76:78].strip()
+        if elem:
+            return elem.capitalize() if len(elem) == 2 else elem.upper()
+    # fall back to the atom-name field (columns 13-16)
+    name = line[12:16].strip()
+    head = "".join(ch for ch in name if ch.isalpha())[:2].upper()
+    if head in _PDB_TWO_LETTER:
+        return head.capitalize()
+    return head[:1]
+
+
+def read_pdb(path: str | Path, *, include_hetatm: bool = True) -> SimpleMolecule:
+    """Read coordinates + elements from a PDB file (first MODEL)."""
+    coords: list[tuple[float, float, float]] = []
+    symbols: list[str] = []
+    name = Path(path).stem
+    with _open_text(path) as fh:
+        for line in fh:
+            rec = line[:6]
+            if rec == "ENDMDL":
+                break
+            if rec == "ATOM  " or (include_hetatm and rec == "HETATM"):
+                coords.append((float(line[30:38]), float(line[38:46]), float(line[46:54])))
+                symbols.append(_pdb_element(line))
+    return SimpleMolecule(coords=np.asarray(coords, dtype=np.float64), symbols=symbols, bonds=[], name=name)
+
+
+def read_molecule(path: str | Path, **kwargs) -> SimpleMolecule:
+    """Dispatch by file extension (.sdf/.mol -> SDF, .pdb -> PDB)."""
+    suffixes = Path(path).suffixes
+    ext = suffixes[-2] if suffixes and suffixes[-1] == ".gz" and len(suffixes) > 1 else Path(path).suffix
+    if ext in (".sdf", ".mol"):
+        return read_sdf(path)
+    if ext in (".pdb", ".ent"):
+        return read_pdb(path, **kwargs)
+    raise ValueError(f"unsupported molecular file type: {path}")
