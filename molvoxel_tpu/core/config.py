@@ -120,15 +120,17 @@ def round_up(x: int, multiple: int) -> int:
 def atom_bucket(num_atoms: int, minimum: int = 128) -> int:
     """Padded atom-count bucket for a given V.
 
-    Buckets limit jit recompiles: V is padded to the next power-of-two-ish
-    bucket (1, 1.5) * 2^k, floored at ``minimum`` (one MXU lane tile).
+    Buckets limit jit recompiles: V is padded to the next bucket in
+    {128, 256, 384, 512, 768, 1024, ...} — powers of two plus 3/4 points,
+    all multiples of 128 (the TPU lane width, required by the Pallas kernel's
+    atom-chunk block specs).
     """
     n = max(int(num_atoms), 1)
     if n <= minimum:
         return minimum
     k = 1 << (n - 1).bit_length()  # next power of two
     threequarter = (k // 4) * 3
-    if n <= threequarter:
+    if threequarter % 128 == 0 and n <= threequarter:
         return threequarter
     return k
 

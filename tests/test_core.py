@@ -48,11 +48,13 @@ class TestGridSpec:
     def test_atom_bucket(self):
         assert atom_bucket(1) == 128
         assert atom_bucket(128) == 128
-        assert atom_bucket(129) == 192
-        assert atom_bucket(200) == 256
+        assert atom_bucket(129) == 256
+        assert atom_bucket(300) == 384
         assert atom_bucket(6651) == 8192
         for v in [1, 50, 129, 1000, 6651]:
-            assert atom_bucket(v) >= v
+            b = atom_bucket(v)
+            assert b >= v
+            assert b % 128 == 0, "pallas atom chunks require 128-multiples"
 
 
 class TestDensity:
