@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core.config import GridSpec
 from ..core.transform import do_random_transform
-from .voxelize import default_impl, voxelize
+from .voxelize import default_batch_impl, voxelize
 
 
 def _single(
@@ -97,7 +97,7 @@ def voxelize_batch(
     """
     b = coords.shape[0]
     if impl == "auto":
-        impl = default_impl()
+        impl = default_batch_impl()
     if centers is None:
         centers = jnp.zeros((b, 3), coords.dtype)
     if mask is None:

@@ -36,15 +36,29 @@ from ..core.config import GridSpec
 from ..core.density import density_sq
 
 
-def _axis_positions(spec: GridSpec, dtype) -> jnp.ndarray:
-    d = spec.dimension
-    return jnp.arange(d, dtype=dtype) * jnp.asarray(spec.resolution, dtype) - jnp.asarray(spec.width / 2.0, dtype)
+def _axis_positions(spec: GridSpec, dtype, offset=0, count: int | None = None) -> jnp.ndarray:
+    """Voxel-center positions for axis indices [offset, offset + count).
+
+    ``offset`` may be a traced scalar (depth-sharded slabs compute it from
+    ``jax.lax.axis_index``); ``count`` must be static.
+    """
+    count = spec.dimension if count is None else count
+    idx = jnp.arange(count, dtype=dtype) + jnp.asarray(offset, dtype)
+    return idx * jnp.asarray(spec.resolution, dtype) - jnp.asarray(spec.width / 2.0, dtype)
 
 
-def _per_axis_sq_deltas(coords: jnp.ndarray, spec: GridSpec) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(V, D), (V, H), (V, W) squared per-axis distances to voxel centers."""
-    ax = _axis_positions(spec, coords.dtype)  # (D,)
-    dx = coords[:, 0:1] - ax[None, :]
+def _per_axis_sq_deltas(
+    coords: jnp.ndarray, spec: GridSpec, d_offset=0, d_count: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(V, Dl), (V, H), (V, W) squared per-axis distances to voxel centers.
+
+    The depth (first) axis may cover just the slab [d_offset, d_offset+d_count)
+    — the unit of depth-sharding across devices (replicate atoms, partition
+    voxels; no halo needed, SURVEY.md section 5).
+    """
+    ax = _axis_positions(spec, coords.dtype)  # (dim,)
+    axd = ax if d_count is None else _axis_positions(spec, coords.dtype, d_offset, d_count)
+    dx = coords[:, 0:1] - axd[None, :]
     dy = coords[:, 1:2] - ax[None, :]
     dz = coords[:, 2:3] - ax[None, :]
     return dx * dx, dy * dy, dz * dz
@@ -71,7 +85,7 @@ def _sanitize(
     return weights, r2
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma"))
+@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
 def voxelize_dense(
     coords: jnp.ndarray,
     weights: jnp.ndarray,
@@ -81,6 +95,8 @@ def voxelize_dense(
     density_type: str = "gaussian",
     sigma: float = 0.5,
     mask: jnp.ndarray | None = None,
+    d_offset=0,
+    d_count: int | None = None,
 ) -> jnp.ndarray:
     """Voxelize a point cloud with per-atom radii.
 
@@ -92,19 +108,22 @@ def voxelize_dense(
       density_type: "gaussian" | "binary" (static).
       sigma: gaussian width (static).
       mask: optional (V,) bool — False entries (padding) contribute nothing.
+      d_offset/d_count: optional depth slab [d_offset, d_offset+d_count);
+        d_offset may be traced (depth-sharding), d_count is static.
 
     Returns:
-      (C, D, H, W) float grid.
+      (C, Dl, H, W) float grid (Dl = d_count or the full dimension).
     """
     v, c = weights.shape
     dim = spec.dimension
+    dloc = dim if d_count is None else d_count
     dtype = coords.dtype
     weights, r2 = _sanitize(weights.astype(dtype), radii.astype(dtype), mask)
 
-    dx2, dy2, dz2 = _per_axis_sq_deltas(coords, spec)
+    dx2, dy2, dz2 = _per_axis_sq_deltas(coords, spec, d_offset, d_count)
 
-    slab = _pick_slab(dim, v)
-    nslabs = dim // slab
+    slab = _pick_slab(dloc, v)
+    nslabs = dloc // slab
 
     def compute_slab(dx2_slab: jnp.ndarray) -> jnp.ndarray:
         # dx2_slab: (V, slab) -> out (C, slab, H, W)
@@ -115,13 +134,13 @@ def voxelize_dense(
     if nslabs == 1:
         return compute_slab(dx2)
 
-    # (V, D) -> (nslabs, V, slab) so lax.map iterates over D-slabs.
+    # (V, Dl) -> (nslabs, V, slab) so lax.map iterates over D-slabs.
     dx2_slabs = jnp.moveaxis(dx2.reshape(v, nslabs, slab), 1, 0)
     out = jax.lax.map(compute_slab, dx2_slabs)  # (nslabs, C, slab, H, W)
-    return jnp.moveaxis(out, 0, 1).reshape(c, dim, dim, dim)
+    return jnp.moveaxis(out, 0, 1).reshape(c, dloc, dim, dim)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma"))
+@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
 def voxelize_dense_channelwise(
     coords: jnp.ndarray,
     weights: jnp.ndarray,
@@ -131,6 +150,8 @@ def voxelize_dense_channelwise(
     density_type: str = "gaussian",
     sigma: float = 0.5,
     mask: jnp.ndarray | None = None,
+    d_offset=0,
+    d_count: int | None = None,
 ) -> jnp.ndarray:
     """Voxelize with channel-wise radii: channel c uses radius radii[c] for all atoms.
 
@@ -146,16 +167,17 @@ def voxelize_dense_channelwise(
     """
     v, c = weights.shape
     dim = spec.dimension
+    dloc = dim if d_count is None else d_count
     dtype = coords.dtype
     weights = weights.astype(dtype)
     r2c = (radii * radii).astype(dtype)  # (C,)
     if mask is not None:
         weights = jnp.where(mask[:, None], weights, 0.0)
 
-    dx2, dy2, dz2 = _per_axis_sq_deltas(coords, spec)
+    dx2, dy2, dz2 = _per_axis_sq_deltas(coords, spec, d_offset, d_count)
 
-    slab = _pick_slab(dim, v)
-    nslabs = dim // slab
+    slab = _pick_slab(dloc, v)
+    nslabs = dloc // slab
 
     def compute_slab(dx2_slab: jnp.ndarray) -> jnp.ndarray:
         d2 = dx2_slab[:, :, None, None] + dy2[:, None, :, None] + dz2[:, None, None, :]  # (V, slab, H, W)
@@ -170,4 +192,4 @@ def voxelize_dense_channelwise(
 
     dx2_slabs = jnp.moveaxis(dx2.reshape(v, nslabs, slab), 1, 0)
     out = jax.lax.map(compute_slab, dx2_slabs)
-    return jnp.moveaxis(out, 0, 1).reshape(c, dim, dim, dim)
+    return jnp.moveaxis(out, 0, 1).reshape(c, dloc, dim, dim)

@@ -128,14 +128,14 @@ def _deposit_channelwise_kernel(dx2_ref, dyz2_ref, wt_ref, r2c_ref, o_ref, *, ga
         o_ref[:, pl.ds(d, 1), :] += acc
 
 
-def _prepare(coords, weights, radii_per_atom, mask, spec):
+def _prepare(coords, weights, radii_per_atom, mask, spec, d_offset=0, d_count=None):
     vp, c = weights.shape
     dim = spec.dimension
     hw = dim * dim
     hwp = round_up(hw, 128)
     cp = round_up(max(c, 1), 8)
 
-    dx2, dy2, dz2 = _per_axis_sq_deltas(coords, spec)
+    dx2, dy2, dz2 = _per_axis_sq_deltas(coords, spec, d_offset, d_count)
     dyz2 = (dy2[:, :, None] + dz2[:, None, :]).reshape(vp, hw)
     if hwp != hw:
         dyz2 = jnp.pad(dyz2, ((0, 0), (0, hwp - hw)), constant_values=BIG)
@@ -168,7 +168,7 @@ def _tiling(vp, c, cp, dim, hwp):
     return ct, a
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma"))
+@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
 def voxelize_pallas(
     coords: jnp.ndarray,
     weights: jnp.ndarray,
@@ -178,22 +178,25 @@ def voxelize_pallas(
     density_type: str = "gaussian",
     sigma: float = 0.5,
     mask: jnp.ndarray | None = None,
+    d_offset=0,
+    d_count: int | None = None,
 ) -> jnp.ndarray:
     """Pallas TPU path of ops.dense.voxelize_dense (same contract, (V,) radii)."""
     vp, c = weights.shape
     dim = spec.dimension
+    dloc = dim if d_count is None else d_count
     gaussian = density_type == "gaussian"
 
-    dx2, dyz2, wt, r2, hw, hwp, cp = _prepare(coords, weights, radii, mask, spec)
+    dx2, dyz2, wt, r2, hw, hwp, cp = _prepare(coords, weights, radii, mask, spec, d_offset, d_count)
     coef = (-(0.5 / (sigma * sigma)) / r2)[:, None]  # (Vp, 1) gaussian exponent scale
     r2 = r2[:, None]  # (Vp, 1)
 
-    ct, a = _tiling(vp, c, cp, dim, hwp)
+    ct, a = _tiling(vp, c, cp, dloc, hwp)
     nvc = vp // a
-    grid = (cp // ct, nvc, dim)
-    # (D*Vp, 1) column layout: the (A, 1) per-plane atom-chunk column is pure
+    grid = (cp // ct, nvc, dloc)
+    # (Dl*Vp, 1) column layout: the (A, 1) per-plane atom-chunk column is pure
     # BlockSpec indexing (block d*nvc + vc), no in-kernel dynamic slicing.
-    dx2cols = dx2.T.reshape(dim * vp, 1)
+    dx2cols = dx2.T.reshape(dloc * vp, 1)
 
     kernel = functools.partial(_deposit_kernel, gaussian=gaussian)
     out = pl.pallas_call(
@@ -206,19 +209,19 @@ def voxelize_pallas(
             pl.BlockSpec((a, 1), lambda cb, vc, d: (vc, 0), memory_space=pltpu.VMEM),  # r2
             pl.BlockSpec((a, 1), lambda cb, vc, d: (vc, 0), memory_space=pltpu.VMEM),  # coef
         ],
-        out_specs=pl.BlockSpec((ct, dim, hwp), lambda cb, vc, d: (cb, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cp, dim, hwp), jnp.float32),
+        out_specs=pl.BlockSpec((ct, dloc, hwp), lambda cb, vc, d: (cb, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, dloc, hwp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * cp * vp * dim * hwp + 8 * vp * dim * hwp,
-            bytes_accessed=(cp // ct) * vp * hwp * 4 + cp * dim * hwp * 4,
-            transcendentals=vp * dim * hwp if gaussian else 0,
+            flops=2 * cp * vp * dloc * hwp + 8 * vp * dloc * hwp,
+            bytes_accessed=(cp // ct) * vp * hwp * 4 + cp * dloc * hwp * 4,
+            transcendentals=vp * dloc * hwp if gaussian else 0,
         ),
         interpret=_interpret(),
     )(dx2cols, dyz2, wt, r2, coef)
-    return out[:c, :, :hw].reshape(c, dim, dim, dim)
+    return out[:c, :, :hw].reshape(c, dloc, dim, dim)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma"))
+@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
 def voxelize_pallas_channelwise(
     coords: jnp.ndarray,
     weights: jnp.ndarray,
@@ -228,20 +231,23 @@ def voxelize_pallas_channelwise(
     density_type: str = "gaussian",
     sigma: float = 0.5,
     mask: jnp.ndarray | None = None,
+    d_offset=0,
+    d_count: int | None = None,
 ) -> jnp.ndarray:
     """Pallas path with channel-wise radii ((C,) radii, shared per channel)."""
     vp, c = weights.shape
     dim = spec.dimension
+    dloc = dim if d_count is None else d_count
     gaussian = density_type == "gaussian"
 
-    dx2, dyz2, wt, _, hw, hwp, cp = _prepare(coords, weights, None, mask, spec)
+    dx2, dyz2, wt, _, hw, hwp, cp = _prepare(coords, weights, None, mask, spec, d_offset, d_count)
     r2c = (radii * radii).astype(jnp.float32)
     r2c = jnp.pad(r2c, (0, cp - c), constant_values=1.0)[:, None]  # (Cp, 1)
 
-    ct, a = _tiling(vp, c, cp, dim, hwp)
+    ct, a = _tiling(vp, c, cp, dloc, hwp)
     nvc = vp // a
-    grid = (cp // ct, nvc, dim)
-    dx2cols = dx2.T.reshape(dim * vp, 1)
+    grid = (cp // ct, nvc, dloc)
+    dx2cols = dx2.T.reshape(dloc * vp, 1)
 
     kernel = functools.partial(_deposit_channelwise_kernel, gaussian=gaussian, ct=ct, sigma=sigma)
     out = pl.pallas_call(
@@ -253,13 +259,13 @@ def voxelize_pallas_channelwise(
             pl.BlockSpec((ct, a), lambda cb, vc, d: (cb, vc), memory_space=pltpu.VMEM),
             pl.BlockSpec((ct, 1), lambda cb, vc, d: (cb, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((ct, dim, hwp), lambda cb, vc, d: (cb, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cp, dim, hwp), jnp.float32),
+        out_specs=pl.BlockSpec((ct, dloc, hwp), lambda cb, vc, d: (cb, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, dloc, hwp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * cp * vp * dim * hwp + 8 * cp * vp * dim * hwp,
-            bytes_accessed=(cp // ct) * vp * hwp * 4 + cp * dim * hwp * 4,
-            transcendentals=cp * vp * dim * hwp if gaussian else 0,
+            flops=2 * cp * vp * dloc * hwp + 8 * cp * vp * dloc * hwp,
+            bytes_accessed=(cp // ct) * vp * hwp * 4 + cp * dloc * hwp * 4,
+            transcendentals=cp * vp * dloc * hwp if gaussian else 0,
         ),
         interpret=_interpret(),
     )(dx2cols, dyz2, wt, r2c)
-    return out[:c, :, :hw].reshape(c, dim, dim, dim)
+    return out[:c, :, :hw].reshape(c, dloc, dim, dim)

@@ -29,6 +29,16 @@ def default_impl() -> str:
     return "pallas" if platform == "tpu" else "dense"
 
 
+def default_batch_impl() -> str:
+    """Implementation for vmapped (batched) calls.
+
+    vmap-of-pallas_call currently miscompiles on the TPU toolchain in this
+    image; batched execution uses the dense XLA path until the natively
+    batched pallas kernel (leading batch grid dimension) lands.
+    """
+    return "dense"
+
+
 def voxelize(
     coords: jnp.ndarray,
     weights: jnp.ndarray,
@@ -40,25 +50,25 @@ def voxelize(
     mask: jnp.ndarray | None = None,
     channelwise_radii: bool = False,
     impl: str = "auto",
+    d_offset=0,
+    d_count: int | None = None,
 ) -> jnp.ndarray:
     """Voxelize one point cloud; see ops/dense.py for argument semantics.
 
     radii is (V,) normally, (C,) when ``channelwise_radii`` is True.
+    d_offset/d_count select a depth slab (depth-sharded execution).
     """
     if impl == "auto":
         impl = default_impl()
+    kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
     if impl == "pallas":
         from .pallas_deposit import voxelize_pallas, voxelize_pallas_channelwise
 
         if channelwise_radii:
-            return voxelize_pallas_channelwise(
-                coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask
-            )
-        return voxelize_pallas(coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask)
+            return voxelize_pallas_channelwise(coords, weights, radii, **kw)
+        return voxelize_pallas(coords, weights, radii, **kw)
     elif impl == "dense":
         if channelwise_radii:
-            return voxelize_dense_channelwise(
-                coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask
-            )
-        return voxelize_dense(coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask)
+            return voxelize_dense_channelwise(coords, weights, radii, **kw)
+        return voxelize_dense(coords, weights, radii, **kw)
     raise ValueError(f"unknown impl {impl!r}; expected 'auto', 'dense' or 'pallas'")

@@ -1,0 +1,23 @@
+from .mesh import (
+    DATA_AXIS,
+    DEPTH_AXIS,
+    data_sharding,
+    initialize_distributed,
+    make_mesh,
+    pad_batch_to_mesh,
+    replicated_sharding,
+)
+from .sharded import voxelize_batch_2d, voxelize_batch_dp, voxelize_depth_sharded
+
+__all__ = [
+    "DATA_AXIS",
+    "DEPTH_AXIS",
+    "data_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "pad_batch_to_mesh",
+    "replicated_sharding",
+    "voxelize_batch_2d",
+    "voxelize_batch_dp",
+    "voxelize_depth_sharded",
+]
