@@ -155,6 +155,36 @@ def read_pdb(path: str | Path, *, include_hetatm: bool = True) -> SimpleMolecule
     return SimpleMolecule(coords=np.asarray(coords, dtype=np.float64), symbols=symbols, bonds=[], name=name)
 
 
+_SDF_BOND_ORDERS = {"SINGLE": 1, "DOUBLE": 2, "TRIPLE": 3, "AROMATIC": 4}
+
+
+def write_sdf(mol: SimpleMolecule, path: str | Path) -> None:
+    """Write a SimpleMolecule as a single-record SDF (V2000)."""
+    lines = [mol.name or "molvoxel_tpu", "  molvoxel_tpu", ""]
+    lines.append(f"{mol.num_atoms:3d}{mol.num_bonds:3d}  0  0  0  0  0  0  0  0999 V2000")
+    for (x, y, z), sym in zip(mol.coords, mol.symbols):
+        lines.append(f"{x:10.4f}{y:10.4f}{z:10.4f} {sym:<3s} 0  0  0  0  0")
+    for i, j, t in mol.bonds:
+        lines.append(f"{i + 1:3d}{j + 1:3d}{_SDF_BOND_ORDERS.get(t, 1):3d}  0")
+    lines.append("M  END")
+    lines.append("$$$$")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def write_pdb(mol: SimpleMolecule, path: str | Path) -> None:
+    """Write a SimpleMolecule as a minimal PDB (HETATM records)."""
+    lines = []
+    for idx, ((x, y, z), sym) in enumerate(zip(mol.coords, mol.symbols), start=1):
+        name = sym[:4]
+        lines.append(
+            f"HETATM{idx:5d} {name:<4s} UNL A   1    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00          {sym:>2s}"
+        )
+    lines.append("END")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
 def read_molecule(path: str | Path, **kwargs) -> SimpleMolecule:
     """Dispatch by file extension (.sdf/.mol -> SDF, .pdb -> PDB)."""
     suffixes = Path(path).suffixes

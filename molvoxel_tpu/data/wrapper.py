@@ -1,0 +1,197 @@
+"""End-to-end wrappers: molecule(s) -> point cloud -> voxel image (-> .pse).
+
+Feature-parity with the reference wrapper layer
+(/root/reference/molvoxel/etc/rdkit/wrapper.py:12-217): a wrapper composes a
+PointCloudMaker (data/pointcloud.py), a Voxelizer (api/voxelizer.py) and an
+optional Visualizer (viz/pymol_session.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from .pointcloud import (
+    ComplexPointCloudMaker,
+    MolPointCloudMaker,
+    MolSystemPointCloudMaker,
+    _mol_num_atoms,
+)
+
+
+class MolWrapper:
+    def __init__(self, pointcloudmaker: MolPointCloudMaker, voxelizer, visualizer: Any | None = None):
+        self.maker = pointcloudmaker
+        self.voxelizer = voxelizer
+        self.visualizer = visualizer
+        self.num_channels = self.maker.num_channels
+        self.channel_type = self.maker.channel_type
+        self.grid_dimension = self.voxelizer.grid_dimension(self.num_channels)
+        self.resolution = self.voxelizer.resolution
+
+    def run(
+        self,
+        mol,
+        center=None,
+        radii=1.0,
+        random_translation: float = 0.0,
+        random_rotation: bool = False,
+        out_grid=None,
+        **kwargs,
+    ):
+        coords, channels = self.maker.run(mol, **kwargs)
+        if out_grid is not None:
+            assert np.shape(out_grid) == self.grid_dimension
+
+        voxelizer = self.voxelizer
+        coords = voxelizer.asarray(coords, "coords")
+        center = voxelizer.asarray(center, "center") if center is not None else None
+        channels = voxelizer.asarray(channels, self.channel_type)
+        radii = radii if np.isscalar(radii) else voxelizer.asarray(radii, "radii")
+        return voxelizer.forward(coords, center, channels, radii, random_translation, random_rotation, out_grid)
+
+    __call__ = run
+
+    def get_coords(self, mol):
+        return self.voxelizer.asarray(self.maker.get_coords(mol), "coords")
+
+    def get_channels(self, mol):
+        return self.voxelizer.asarray(self.maker.get_channels(mol), self.channel_type)
+
+    def split_channel(self, image):
+        return self.maker.split_channel(image)
+
+    def get_empty_grid(self, batch_size: int | None = None, init_zero: bool = False):
+        return self.voxelizer.get_empty_grid(self.num_channels, batch_size, init_zero)
+
+    def visualize(self, pse_path: str, mol, image, center, new_coords=None):
+        assert self.visualizer is not None
+        channel_dict = self.split_channel(image)
+        if center is None:
+            center = self.voxelizer.asarray([0, 0, 0], "center")
+        self.visualizer.visualize_mol(pse_path, mol, channel_dict, center, self.resolution, new_coords)
+
+
+class MolSystemWrapper(MolWrapper):
+    def __init__(
+        self,
+        pointcloudmaker: MolSystemPointCloudMaker,
+        voxelizer,
+        name_list: list[str] | None = None,
+        visualizer: Any | None = None,
+    ):
+        super().__init__(pointcloudmaker, voxelizer, visualizer)
+        self.name_list = name_list
+
+    def run(
+        self,
+        mol_list: list,
+        center=None,
+        radii=1.0,
+        random_translation: float = 0.0,
+        random_rotation: bool = False,
+        out_grid=None,
+        **kwargs,
+    ):
+        coords, channels = self.maker.run(mol_list, **kwargs)
+        if out_grid is not None:
+            assert np.shape(out_grid) == self.grid_dimension
+
+        voxelizer = self.voxelizer
+        # per-molecule radii lists expand to per-atom / concatenated arrays
+        # (reference wrapper.py:105-114)
+        if voxelizer.is_radii_type_scalar:
+            pass
+        elif voxelizer.is_radii_type_atom_wise:
+            if isinstance(radii, list):
+                assert len(radii) == len(mol_list)
+                radii_list = [[r] * _num_points(mol, maker) for r, mol, maker in
+                              zip(radii, mol_list, self.maker.maker_list)]
+                radii = np.concatenate([np.asarray(rl, np.float32) for rl in radii_list])
+        else:
+            if isinstance(radii, list):
+                radii = np.concatenate([np.asarray(r, np.float32).reshape(-1) for r in radii])
+
+        coords = voxelizer.asarray(coords, "coords")
+        center = voxelizer.asarray(center, "center") if center is not None else None
+        channels = voxelizer.asarray(channels, self.maker.channel_type)
+        radii = radii if np.isscalar(radii) else voxelizer.asarray(radii, "radii")
+        return voxelizer.forward(coords, center, channels, radii, random_translation, random_rotation, out_grid)
+
+    __call__ = run
+
+    def visualize(self, pse_path: str, mol_list, image, center, new_coords=None):
+        assert self.visualizer is not None
+        assert self.name_list is not None, "name_list should be set"
+        channel_dict_list = self.split_channel(image)
+        if center is None:
+            center = self.voxelizer.asarray([0, 0, 0], "center")
+        if new_coords is not None:
+            new_coords_list = []
+            offset = 0
+            for mol in mol_list:
+                n = _mol_num_atoms(mol)
+                new_coords_list.append(new_coords[offset : offset + n])
+                offset += n
+        else:
+            new_coords_list = None
+        self.visualizer.visualize_system(
+            pse_path, mol_list, self.name_list, channel_dict_list, center, self.resolution, new_coords_list
+        )
+
+
+def _num_points(mol, maker) -> int:
+    return maker.num_points(mol)
+
+
+class ComplexWrapper(MolSystemWrapper):
+    """Fixed ["Ligand", "Protein"] system (reference wrapper.py:162-217)."""
+
+    def __init__(self, pointcloudmaker: ComplexPointCloudMaker, voxelizer, visualizer: Any | None = None):
+        super().__init__(pointcloudmaker, voxelizer, ["Ligand", "Protein"], visualizer)
+
+    def run(
+        self,
+        ligand_mol,
+        protein_mol,
+        center=None,
+        radii=1.0,
+        random_translation: float = 0.0,
+        random_rotation: bool = False,
+        out_grid=None,
+        **kwargs,
+    ):
+        return super().run(
+            [ligand_mol, protein_mol], center, radii, random_translation, random_rotation, out_grid, **kwargs
+        )
+
+    __call__ = run
+
+    def get_coords(self, ligand_mol, protein_mol):
+        return super().get_coords([ligand_mol, protein_mol])
+
+    def get_channels(self, ligand_mol, protein_mol):
+        return super().get_channels([ligand_mol, protein_mol])
+
+    def visualize(self, pse_path: str, ligand_mol, protein_mol, image, center, new_coords=None):
+        assert self.visualizer is not None
+        ligand_channel_dict, protein_channel_dict = self.split_channel(image)
+        if center is None:
+            center = self.voxelizer.asarray([0, 0, 0], "center")
+        if new_coords is not None:
+            n = _mol_num_atoms(ligand_mol)
+            ligand_new_coords, protein_new_coords = new_coords[:n], new_coords[n:]
+        else:
+            ligand_new_coords = protein_new_coords = None
+        self.visualizer.visualize_complex(
+            pse_path,
+            ligand_mol,
+            protein_mol,
+            ligand_channel_dict,
+            protein_channel_dict,
+            center,
+            self.resolution,
+            ligand_new_coords,
+            protein_new_coords,
+        )

@@ -1,0 +1,243 @@
+"""Data-layer tests: parsers, getters, point-cloud makers, wrappers, pipeline."""
+
+import numpy as np
+import pytest
+
+from molvoxel_tpu import create_voxelizer
+from molvoxel_tpu.data import (
+    AtomTypeGetter,
+    BondTypeGetter,
+    ComplexPointCloudMaker,
+    ComplexWrapper,
+    FeatureGetter,
+    MolPointCloudMaker,
+    MolSystemPointCloudMaker,
+    MolWrapper,
+    SimpleMolecule,
+    iter_batches,
+    pad_point_clouds,
+    read_pdb,
+    read_sdf,
+    types_to_onehot,
+)
+from molvoxel_tpu.data.parsers import write_pdb, write_sdf
+
+REF_LIGAND = "/root/reference/test/10gs/10gs_ligand.sdf"
+REF_POCKET = "/root/reference/test/10gs/10gs_pocket_nowater.pdb"
+
+
+def make_mol(rng, n=8, nb=4):
+    coords = rng.uniform(-3, 3, (n, 3))
+    symbols = [["C", "N", "O", "S"][i % 4] for i in range(n)]
+    bonds = [(i, i + 1, ["SINGLE", "DOUBLE", "TRIPLE", "AROMATIC"][i % 4]) for i in range(nb)]
+    return SimpleMolecule(coords=coords, symbols=symbols, bonds=bonds, name="test")
+
+
+class TestParsers:
+    def test_read_sdf_fixture(self):
+        mol = read_sdf(REF_LIGAND)
+        assert mol.num_atoms == 61
+        assert mol.num_bonds == 62
+        assert mol.coords.shape == (61, 3)
+        assert mol.symbols[0] == "N"
+        np.testing.assert_allclose(mol.coords[0], [15.088, 10.798, 23.547], atol=1e-4)
+        mids = mol.bond_midpoints()
+        assert mids.shape == (62, 3)
+
+    def test_read_pdb_fixture(self):
+        mol = read_pdb(REF_POCKET)
+        assert mol.num_atoms == 500
+        assert set(mol.symbols) <= {"C", "N", "O", "S", "H"}
+        noh = mol.without_hydrogens()
+        assert noh.num_atoms < mol.num_atoms
+        assert "H" not in noh.symbols
+
+    def test_sdf_roundtrip(self, rng, tmp_path):
+        mol = make_mol(rng)
+        write_sdf(mol, tmp_path / "m.sdf")
+        back = read_sdf(tmp_path / "m.sdf")
+        assert back.symbols == mol.symbols
+        assert [(i, j, t) for i, j, t in back.bonds] == mol.bonds
+        np.testing.assert_allclose(back.coords, mol.coords, atol=1e-3)
+
+    def test_pdb_roundtrip(self, rng, tmp_path):
+        mol = make_mol(rng, nb=0)
+        write_pdb(mol, tmp_path / "m.pdb")
+        back = read_pdb(tmp_path / "m.pdb")
+        assert back.symbols == mol.symbols
+        np.testing.assert_allclose(back.coords, mol.coords, atol=1e-3)
+
+
+class TestGetters:
+    def test_atom_type_getter(self):
+        g = AtomTypeGetter(["C", "N", "O", "S"])
+        assert g.num_channels == 4
+        assert g.get_type("N") == 1
+        assert g.get_feature("O") == [0.0, 0.0, 1.0, 0.0]
+        with pytest.raises(KeyError):
+            g.get_type("Fe")
+
+    def test_unknown_channel(self):
+        g = AtomTypeGetter(["C", "N"], unknown=True)
+        assert g.num_channels == 3
+        assert g.channels[-1] == "Unknown"
+        assert g.get_type("Fe") == 2
+
+    def test_bond_type_getter_default(self):
+        g = BondTypeGetter.default()
+        assert g.num_channels == 4
+        assert g.channels == ["SingleBond", "DoubleBond", "TripleBond", "AromaticBond"]
+        assert g.get_type("AROMATIC") == 3
+
+    def test_to_feature_getter(self):
+        g = AtomTypeGetter(["C", "N"]).to_feature_getter()
+        assert isinstance(g, FeatureGetter)
+        assert g.get_feature("N") == [0.0, 1.0]
+
+
+class TestMakers:
+    def test_atoms_only_types(self, rng):
+        mol = make_mol(rng)
+        maker = MolPointCloudMaker(AtomTypeGetter(["C", "N", "O", "S"]), None, channel_type="types")
+        coords, types = maker.run(mol)
+        assert coords.shape == (8, 3)
+        assert types.shape == (8,)
+        assert types.dtype == np.int32
+        assert list(types[:4]) == [0, 1, 2, 3]
+
+    def test_bond_midpoints_appended(self, rng):
+        mol = make_mol(rng, n=8, nb=4)
+        maker = MolPointCloudMaker(
+            AtomTypeGetter(["C", "N", "O", "S"]), BondTypeGetter.default(), channel_type="types"
+        )
+        coords, types = maker.run(mol)
+        assert coords.shape == (12, 3)
+        np.testing.assert_allclose(coords[8], (mol.coords[0] + mol.coords[1]) / 2)
+        # bond types offset by atom channel count
+        assert list(types[8:]) == [4, 5, 6, 7]
+        assert maker.num_channels == 8
+
+    def test_features_onehot_layout(self, rng):
+        mol = make_mol(rng, n=4, nb=2)
+        maker = MolPointCloudMaker(
+            AtomTypeGetter(["C", "N", "O", "S"]), BondTypeGetter.default(), channel_type="features"
+        )
+        coords, feats = maker.run(mol)
+        assert feats.shape == (6, 8)
+        assert feats[0, 0] == 1.0 and feats[0, 1:].sum() == 0
+        assert feats[4, 4] == 1.0  # first bond: SINGLE -> channel 4
+        assert feats[5, 5] == 1.0  # second bond: DOUBLE -> channel 5
+
+    def test_coords_override(self, rng):
+        # reference Q4: coords override via kwargs is broken there; works here
+        mol = make_mol(rng)
+        maker = MolPointCloudMaker(AtomTypeGetter(["C", "N", "O", "S"]), None, channel_type="types")
+        custom = np.zeros((8, 3))
+        coords, _ = maker.run(mol, coords=custom)
+        assert coords is custom
+
+    def test_system_maker_channel_offsets(self, rng):
+        lig, prot = make_mol(rng, n=4, nb=0), make_mol(rng, n=6, nb=0)
+        ag = AtomTypeGetter(["C", "N", "O", "S"])
+        maker = MolSystemPointCloudMaker((ag, None), (ag, None), channel_type="types")
+        assert maker.num_channels == 8
+        coords, types = maker.run([lig, prot])
+        assert coords.shape == (10, 3)
+        assert types[:4].max() < 4 and types[4:].min() >= 4
+
+    def test_split_channel(self, rng):
+        mol = make_mol(rng, n=4, nb=0)
+        maker = MolPointCloudMaker(AtomTypeGetter(["C", "N", "O", "S"]), None, channel_type="features")
+        image = np.arange(4 * 2 * 2 * 2).reshape(4, 2, 2, 2)
+        d = maker.split_channel(image)
+        assert list(d.keys()) == ["C", "N", "O", "S"]
+        np.testing.assert_array_equal(d["N"], image[1])
+
+
+class TestWrappers:
+    def test_mol_wrapper_end_to_end(self, rng):
+        mol = make_mol(rng)
+        maker = MolPointCloudMaker(
+            AtomTypeGetter(["C", "N", "O", "S"]), BondTypeGetter.default(), channel_type="features"
+        )
+        vox = create_voxelizer(resolution=0.5, dimension=16)
+        wrapper = MolWrapper(maker, vox)
+        out = wrapper.run(mol, center=mol.coords.mean(0), radii=1.0)
+        assert out.shape == (8, 16, 16, 16)
+        assert out.max() > 0
+
+    def test_complex_wrapper_matches_manual(self, rng):
+        lig = read_sdf(REF_LIGAND).without_hydrogens()
+        pocket = read_pdb(REF_POCKET).without_hydrogens()
+        ag = AtomTypeGetter(["C", "N", "O", "S"])
+        maker = ComplexPointCloudMaker(ag, None, ag, None, channel_type="types")
+        vox = create_voxelizer(resolution=0.5, dimension=24)
+        wrapper = ComplexWrapper(maker, vox)
+        center = lig.coords.mean(0)
+        out = wrapper.run(lig, pocket, center=center, radii=1.0)
+        assert out.shape == (8, 24, 24, 24)
+
+        coords, types = maker.run([lig, pocket])
+        manual = vox.forward_types(
+            vox.asarray(coords, "coords"), vox.asarray(center, "center"), vox.asarray(types, "types"), 1.0
+        )
+        np.testing.assert_allclose(out, manual, atol=1e-6)
+
+    def test_wrapper_types_vs_features_consistency(self, rng):
+        # the reference sanity assertion (test_time_numpy.py:67-69)
+        lig = read_sdf(REF_LIGAND).without_hydrogens()
+        ag = AtomTypeGetter(["C", "N", "O", "S"])
+        bg = BondTypeGetter.default()
+        vox = create_voxelizer(resolution=0.5, dimension=24)
+        w_t = MolWrapper(MolPointCloudMaker(ag, bg, channel_type="types"), vox)
+        w_f = MolWrapper(MolPointCloudMaker(ag, bg, channel_type="features"), vox)
+        center = lig.coords.mean(0)
+        np.testing.assert_allclose(
+            w_t.run(lig, center=center, radii=1.0), w_f.run(lig, center=center, radii=1.0), atol=1e-5
+        )
+
+
+class TestPipeline:
+    def test_pad_point_clouds(self, rng):
+        clouds = [
+            (rng.uniform(-3, 3, (v, 3)).astype(np.float32), rng.uniform(size=(v, 4)).astype(np.float32))
+            for v in [5, 60, 33]
+        ]
+        batch = pad_point_clouds(clouds)
+        assert batch.coords.shape == (3, 128, 3)
+        assert batch.mask.sum() == 5 + 60 + 33
+        assert list(batch.num_atoms) == [5, 60, 33]
+        assert batch.weights[0, 5:].sum() == 0
+
+    def test_types_to_onehot(self):
+        oh = types_to_onehot(np.asarray([0, 2, 1]), 3)
+        np.testing.assert_array_equal(oh, [[1, 0, 0], [0, 0, 1], [0, 1, 0]])
+
+    def test_iter_batches_pads_tail(self, rng):
+        clouds = [
+            (rng.uniform(-3, 3, (9, 3)).astype(np.float32), rng.uniform(size=(9, 2)).astype(np.float32))
+            for _ in range(5)
+        ]
+        batches = list(iter_batches(clouds, batch_size=2))
+        assert len(batches) == 3
+        assert batches[-1].mask[1].sum() == 0  # padded empty molecule
+
+    def test_batch_feeds_ops(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from molvoxel_tpu.core import GridSpec
+        from molvoxel_tpu.ops.batch import voxelize_batch
+
+        clouds = [
+            (rng.uniform(-3, 3, (v, 3)).astype(np.float32), rng.uniform(size=(v, 4)).astype(np.float32))
+            for v in [5, 20]
+        ]
+        batch = pad_point_clouds(clouds)
+        keys = jax.random.split(jax.random.PRNGKey(0), batch.batch_size)
+        out = voxelize_batch(
+            jnp.asarray(batch.coords), jnp.asarray(batch.weights), jnp.ones((batch.padded_atoms,), jnp.float32),
+            jnp.asarray(batch.mask), None, keys, 0.0,
+            spec=GridSpec(0.5, 16), impl="dense",
+        )
+        assert out.shape == (2, 4, 16, 16, 16)
