@@ -87,7 +87,7 @@ class Voxelizer:
 
     LIB = "JAX"
     RADII_TYPE_LIST = ["scalar", "channel-wise", "atom-wise"]
-    DENSITY_TYPE_LIST = ["gaussian", "binary"]
+    DENSITY_TYPE_LIST = ["gaussian", "binary", "gaussian_notrunc"]
     transform_class = RandomTransform
 
     def __init__(

@@ -6,7 +6,7 @@ from .config import (
     atom_bucket,
     round_up,
 )
-from .density import binary_sq, density_sq, gaussian_sq
+from .density import binary_sq, density_sq, gaussian_notrunc_sq, gaussian_sq
 from .transform import (
     RandomTransform,
     Transform,
@@ -28,6 +28,7 @@ __all__ = [
     "binary_sq",
     "density_sq",
     "gaussian_sq",
+    "gaussian_notrunc_sq",
     "RandomTransform",
     "Transform",
     "apply_quaternion",

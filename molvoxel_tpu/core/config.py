@@ -18,7 +18,7 @@ import numpy as np
 # Valid enum values mirror the reference lists
 # (/root/reference/molvoxel/voxelizer/base/voxelizer.py:12-13).
 RADII_TYPE_LIST = ("scalar", "channel-wise", "atom-wise")
-DENSITY_TYPE_LIST = ("gaussian", "binary")
+DENSITY_TYPE_LIST = ("gaussian", "binary", "gaussian_notrunc")
 
 
 @dataclasses.dataclass(frozen=True)

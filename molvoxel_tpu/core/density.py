@@ -21,6 +21,9 @@ import jax.numpy as jnp
 
 GAUSSIAN = "gaussian"
 BINARY = "binary"
+# no radius cutoff: the reference *torch* backend's actual gaussian semantics
+# (its masked_fill_ cutoff is dead code, torch/voxelizer.py:564-567, SURVEY Q1)
+GAUSSIAN_NOTRUNC = "gaussian_notrunc"
 
 
 def gaussian_sq(d2: jnp.ndarray, r2: jnp.ndarray, sigma: float) -> jnp.ndarray:
@@ -38,9 +41,17 @@ def binary_sq(d2: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(d2 <= r2, 1.0, 0.0).astype(d2.dtype)
 
 
+def gaussian_notrunc_sq(d2: jnp.ndarray, r2: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Gaussian without the radius cutoff (reference torch semantics)."""
+    inv_two_sigma_sq = 0.5 / (sigma * sigma)
+    return jnp.exp(-(inv_two_sigma_sq) * d2 / r2)
+
+
 def density_sq(d2: jnp.ndarray, r2: jnp.ndarray, density_type: str, sigma: float) -> jnp.ndarray:
     if density_type == GAUSSIAN:
         return gaussian_sq(d2, r2, sigma)
     elif density_type == BINARY:
         return binary_sq(d2, r2)
+    elif density_type == GAUSSIAN_NOTRUNC:
+        return gaussian_notrunc_sq(d2, r2, sigma)
     raise ValueError(f"unknown density_type {density_type!r}")

@@ -1,10 +1,11 @@
-"""Batched voxelization: vmap over molecules.
+"""Batched voxelization over padded molecule batches.
 
 The reference has no real batch axis — its timing harness loops Python-side
 over ``out_grid[i]`` slices (/root/reference/test/test_time_numpy.py:11-15).
-Here the batch is a first-class vmapped axis, which is what the TPU needs to
-keep the MXU fed, and is the axis data-parallel sharding splits across chips
-(parallel/).
+Here the batch is a first-class axis: on TPU it maps to the natively batched
+Pallas kernel (leading batch grid dimension, ops/pallas_deposit.py); on other
+backends it vmaps the dense XLA op.  This is also the axis data-parallel
+sharding splits across chips (parallel/).
 """
 
 from __future__ import annotations
@@ -16,38 +17,8 @@ import jax.numpy as jnp
 
 from ..core.config import GridSpec
 from ..core.transform import do_random_transform
-from .voxelize import default_batch_impl, voxelize
-
-
-def _single(
-    coords,
-    weights,
-    radii,
-    mask,
-    center,
-    key,
-    random_translation,
-    *,
-    spec,
-    density_type,
-    sigma,
-    random_rotation,
-    channelwise,
-    impl,
-):
-    coords = coords - center[None, :].astype(coords.dtype)
-    coords = do_random_transform(key, coords, None, random_translation, random_rotation)
-    return voxelize(
-        coords,
-        weights,
-        radii,
-        spec=spec,
-        density_type=density_type,
-        sigma=sigma,
-        mask=mask,
-        channelwise_radii=channelwise,
-        impl=impl,
-    )
+from .dense import voxelize_dense, voxelize_dense_channelwise
+from .voxelize import default_batch_impl
 
 
 @functools.partial(
@@ -60,6 +31,7 @@ def _single(
         "channelwise",
         "impl",
         "radii_batched",
+        "d_count",
     ),
 )
 def voxelize_batch(
@@ -78,6 +50,8 @@ def voxelize_batch(
     channelwise: bool = False,
     impl: str = "auto",
     radii_batched: bool = False,
+    d_offset=0,
+    d_count: int | None = None,
 ) -> jnp.ndarray:
     """Voxelize a padded batch of point clouds.
 
@@ -91,30 +65,42 @@ def voxelize_batch(
         consumed when random_translation > 0 or random_rotation.
       random_translation: scalar magnitude (may be traced).
       random_rotation: static bool.
+      d_offset/d_count: optional depth slab (depth-sharded execution).
 
     Returns:
-      (B, C, D, H, W).
+      (B, C, Dl, H, W).
     """
     b = coords.shape[0]
     if impl == "auto":
         impl = default_batch_impl()
-    if centers is None:
-        centers = jnp.zeros((b, 3), coords.dtype)
-    if mask is None:
-        mask_ax = None
-        mask_arr = None
-    else:
-        mask_ax = 0
-        mask_arr = mask
-    fn = functools.partial(
-        _single,
-        spec=spec,
-        density_type=density_type,
-        sigma=sigma,
-        random_rotation=random_rotation,
-        channelwise=channelwise,
-        impl=impl,
+    rt = jnp.asarray(random_translation, coords.dtype)
+
+    if centers is not None:
+        coords = coords - centers[:, None, :].astype(coords.dtype)
+    coords = jax.vmap(lambda k, crd: do_random_transform(k, crd, None, rt, random_rotation))(keys, coords)
+
+    if density_type == "gaussian_notrunc":
+        from .separable import voxelize_separable_batch, voxelize_separable_batch_channelwise
+
+        kw = dict(spec=spec, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
+        if channelwise:
+            return voxelize_separable_batch_channelwise(coords, weights, radii, **kw)
+        return voxelize_separable_batch(coords, weights, radii, **kw)
+
+    if impl == "pallas":
+        from .pallas_deposit import voxelize_pallas_batch, voxelize_pallas_batch_channelwise
+
+        kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
+        if channelwise:
+            return voxelize_pallas_batch_channelwise(coords, weights, radii, **kw)
+        return voxelize_pallas_batch(coords, weights, radii, **kw)
+
+    fn = voxelize_dense_channelwise if channelwise else voxelize_dense
+    single = functools.partial(
+        fn, spec=spec, density_type=density_type, sigma=sigma, d_offset=d_offset, d_count=d_count
     )
-    return jax.vmap(fn, in_axes=(0, 0, 0 if radii_batched else None, mask_ax, 0, 0, None))(
-        coords, weights, radii, mask_arr, centers, keys, jnp.asarray(random_translation, coords.dtype)
+    mask_ax = None if mask is None else 0
+    radii_ax = 0 if radii_batched else None
+    return jax.vmap(lambda crd, w, r, m: single(crd, w, r, mask=m), in_axes=(0, 0, radii_ax, mask_ax))(
+        coords, weights, radii, mask
     )

@@ -129,7 +129,8 @@ def voxelize_dense(
         # dx2_slab: (V, slab) -> out (C, slab, H, W)
         d2 = dx2_slab[:, :, None, None] + dy2[:, None, :, None] + dz2[:, None, None, :]
         dens = density_sq(d2, r2[:, None, None, None], density_type, sigma)
-        return jnp.einsum("vc,vdhw->cdhw", weights, dens, preferred_element_type=dtype)
+        return jnp.einsum("vc,vdhw->cdhw", weights, dens, preferred_element_type=dtype,
+                          precision=jax.lax.Precision.HIGH)
 
     if nslabs == 1:
         return compute_slab(dx2)
@@ -184,7 +185,8 @@ def voxelize_dense_channelwise(
         per_channel = []
         for ci in range(c):
             dens = density_sq(d2, r2c[ci], density_type, sigma)
-            per_channel.append(jnp.einsum("v,vdhw->dhw", weights[:, ci], dens, preferred_element_type=dtype))
+            per_channel.append(jnp.einsum("v,vdhw->dhw", weights[:, ci], dens, preferred_element_type=dtype,
+                                          precision=jax.lax.Precision.HIGH))
         return jnp.stack(per_channel)  # (C, slab, H, W)
 
     if nslabs == 1:

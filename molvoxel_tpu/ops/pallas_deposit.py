@@ -1,37 +1,41 @@
-"""Fused Pallas TPU deposit kernel.
+"""Fused Pallas TPU deposit kernels.
 
 The hot loop of the reference is cdist -> density -> matmul over a
 materialized voxel meshgrid, staged through HBM-sized temporaries
-(/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:531-560 and the
-numba triple loops, numba/func_features.py).  Here the whole pipeline is one
-Pallas kernel that never materializes the (V, N) distance matrix in HBM:
+(/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:531-560 and the numba
+triple loops, numba/func_features.py).  Here the whole pipeline is a single
+fused kernel built around three TPU-specific ideas:
 
-  for each (channel-tile c, atom-chunk vc, depth-plane d)   [pallas grid]
-      d2   = dx2[vc-chunk, d] + dyz2[vc-chunk, :]           (VPU, A x HW)
-      dens = density(d2, r2)                                (VPU, fused exp)
-      out[c-tile, d, :] (+)= wT[c-tile, vc-chunk] @ dens    (MXU)
+1. **Transposed tiles.**  Streamed per-atom arrays are laid out voxels-on-
+   sublanes x atoms-on-lanes ((HWt, A) tiles), so every per-atom scalar
+   (cutoff threshold, gaussian plane factor) is a (1, A) row that broadcasts
+   natively — no sublane/lane relayouts in the inner loop.
+2. **Separable gaussian factorization.**  exp(coef*(dx^2+dyz^2)) =
+   exp(coef*dx^2) * exp(coef*dyz^2).  The plane factor ex[v,d] is folded into
+   the weight matrix once per step (O(Ct*A)); the cross-plane factor
+   eyz[v,hw] is precomputed by XLA.  The radius cutoff d^2 <= r^2 becomes
+   dyz^2 <= thresh[v,d] with thresh = r^2 - dx^2 precomputed.  The per-element
+   inner loop is exactly: compare + select (2 VPU ops), then an MXU matmul
 
-Key design points (see pallas_guide.md):
-- Separable squared distances: dx2 (V, D) and dyz2 (V, H*W) are tiny
-  precomputed inputs; the (A, HW) d2 tile is formed by one broadcast add.
-  No voxel coordinates are ever stored (vs the reference's per-block
-  meshgrid dict, numpy/voxelizer.py:46-58).
-- The full (Ct, D, HWp) output tile stays resident in VMEM across the whole
-  grid (constant index map), so dyz2 atom-chunks are streamed exactly once
-  per channel-tile: HBM traffic is O(V*(HW + D)) per molecule, not O(V*N).
-- dx2 (V, D) is small enough to keep fully VMEM-resident (constant index
-  map); its per-plane (A, 1) column is sliced inside the kernel, which keeps
-  every *blocked* operand on legal (8k, 128m) tile boundaries.
-- One program instance owns one output tile: race-free by construction,
-  no scatter/atomics (the torch backend's scatter_add_ has no TPU analog
-  worth using; one-hot weights turn the types path into the same matmul).
-- Accumulation initializes at the first atom-chunk (@pl.when(vc == 0)),
-  mirroring the K-loop matmul pattern.
+     out[ct, d, hwt] += (wT * ex_row) @ where(dyz2_t <= thresh_row, eyz_t, 0)^T
 
-Lane padding: H*W is padded to a multiple of 128 with dyz2 = BIG so padded
-voxels get zero density; V is padded by the caller to a multiple of 128
-(core.config.atom_bucket) with weights zeroed; C is padded to a multiple of
-8 with zero weight rows.
+   The exact-cutoff numpy-reference semantics are preserved bit-for-bit in
+   the comparison; exp(a)*exp(b) vs exp(a+b) differs by ~1e-7 relative, far
+   inside the 1e-5 parity budget (tests/test_parity_golden.py).
+3. **Resident output, streamed atoms.**  The (Ct, Dl, HWt) output tile stays
+   in VMEM across the whole (vc, d) sweep (constant index map); each
+   (HWt, A) atom tile is DMA'd once per channel tile.  HBM traffic is
+   O(V*HW) per molecule, never O(V*N).  One program instance owns one output
+   tile: race-free by construction, no scatter/atomics (the torch backend's
+   scatter_add_, torch/voxelizer.py:378, becomes the same matmul via one-hot
+   weights).
+
+The batch axis is a native leading grid dimension (vmap-of-pallas_call
+miscompiles in this toolchain), so (B, V, ...) batches run as one kernel.
+
+Padding: H*W is padded to a lane multiple with dyz2 = BIG (density exactly
+0); V is padded to a multiple of 128 (core.config.atom_bucket) with weights
+zeroed; C is padded to a multiple of 8 with zero weight rows.
 """
 
 from __future__ import annotations
@@ -44,20 +48,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import GridSpec, round_up
-from .dense import _per_axis_sq_deltas
+from .dense import _axis_positions
 
 BIG = 1e30  # padded-voxel squared distance: density underflows to exactly 0
-_VMEM_BUDGET = 14 * 2**20
-_OUT_BUDGET = 10 * 2**20  # max resident output tile; the rest buffers input streams
+_VMEM_BUDGET = 13 * 2**20
+_OUT_BUDGET = 5 * 2**20
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _atom_chunk(vp: int, hwp: int, out_bytes: int) -> int:
-    """Largest atom-chunk A (multiple of 128, divides Vp) fitting the VMEM budget."""
-    a_max = max(128, (_VMEM_BUDGET - out_bytes) // (12 * hwp))
+# --------------------------------------------------------------------- tiling
+
+
+def _hw_tile(hwp: int, target: int = 1024) -> int:
+    """Largest multiple-of-128 divisor of hwp that is <= target."""
+    best = 128
+    t = 128
+    while t <= hwp:
+        if hwp % t == 0 and t <= target:
+            best = t
+        t += 128
+    return best
+
+
+def _channel_tile(cp: int, dl: int, hwt: int) -> int:
+    best = 8
+    ct = 8
+    while ct <= cp:
+        if cp % ct == 0 and ct * dl * hwt * 4 <= _OUT_BUDGET:
+            best = ct
+        ct += 8
+    return best
+
+
+def _atom_chunk(vp: int, hwt: int, out_bytes: int, streams: int) -> int:
+    """Largest atom chunk (multiple of 128, divides Vp) fitting VMEM."""
+    budget = _VMEM_BUDGET - out_bytes
+    a_max = max(128, budget // (streams * 2 * hwt * 4 + hwt * 4))  # double-buffered streams + dens temp
     best = 128
     a = 128
     while a <= vp:
@@ -67,112 +96,264 @@ def _atom_chunk(vp: int, hwp: int, out_bytes: int) -> int:
     return best
 
 
-def _channel_tile(cp: int, d: int, hwp: int) -> int | None:
-    """Largest channel-tile Ct (multiple of 8, divides Cp) whose output fits VMEM."""
-    best = None
-    ct = 8
-    while ct <= cp:
-        if cp % ct == 0 and ct * d * hwp * 4 <= _OUT_BUDGET:
-            best = ct
-        ct += 8
-    return best
-
-
 def pallas_supported(spec: GridSpec, num_channels: int) -> bool:
-    hwp = round_up(spec.dimension * spec.dimension, 128)
-    return _channel_tile(round_up(max(num_channels, 1), 8), spec.dimension, hwp) is not None
+    """The tiled kernel handles any dimension whose (8, Dl, 128) tile fits."""
+    return 8 * spec.dimension * 128 * 4 <= _OUT_BUDGET
 
 
-def _deposit_kernel(dx2_ref, dyz2_ref, wt_ref, r2_ref, coef_ref, o_ref, *, gaussian: bool):
-    vc = pl.program_id(1)
-    d = pl.program_id(2)
-    d2 = dx2_ref[...] + dyz2_ref[...]  # (A, 1) + (A, HWp)
-    r2 = r2_ref[...]  # (A, 1)
-    if gaussian:
-        dens = jnp.where(d2 <= r2, jnp.exp(d2 * coef_ref[...]), 0.0)
-    else:
-        dens = jnp.where(d2 <= r2, 1.0, 0.0)
-    acc = jnp.dot(wt_ref[...], dens, preferred_element_type=jnp.float32)  # (Ct, HWp)
-    acc = acc[:, None, :]  # (Ct, 1, HWp)
-
-    @pl.when(vc == 0)
-    def _():
-        o_ref[:, pl.ds(d, 1), :] = acc
-
-    @pl.when(vc > 0)
-    def _():
-        o_ref[:, pl.ds(d, 1), :] += acc
+def _tiles(vp: int, cp: int, dl: int, hwp: int, streams: int):
+    hwt = _hw_tile(hwp)
+    ct = _channel_tile(cp, dl, hwt)
+    while ct == 8 and 8 * dl * hwt * 4 > _OUT_BUDGET and hwt > 128:
+        hwt //= 2
+        ct = _channel_tile(cp, dl, hwt)
+    if 8 * dl * hwt * 4 > _OUT_BUDGET:
+        raise ValueError(f"depth {dl} too large for the VMEM output budget")
+    a = _atom_chunk(vp, hwt, ct * dl * hwt * 4, streams)
+    return ct, a, hwt
 
 
-def _deposit_channelwise_kernel(dx2_ref, dyz2_ref, wt_ref, r2c_ref, o_ref, *, gaussian: bool, ct: int, sigma: float):
-    vc = pl.program_id(1)
-    d = pl.program_id(2)
-    d2 = dx2_ref[...] + dyz2_ref[...]  # (A, 1) + (A, HWp)
-    inv_two_sigma_sq = 0.5 / (sigma * sigma)
-    rows = []
-    for ci in range(ct):
-        r2 = r2c_ref[ci, 0]
-        if gaussian:
-            dens = jnp.where(d2 <= r2, jnp.exp(d2 * (-inv_two_sigma_sq / r2)), 0.0)
-        else:
-            dens = jnp.where(d2 <= r2, 1.0, 0.0)
-        rows.append(jnp.dot(wt_ref[ci : ci + 1, :], dens, preferred_element_type=jnp.float32))
-    acc = jnp.concatenate(rows, axis=0)[:, None, :]  # (Ct, 1, HWp)
-
-    @pl.when(vc == 0)
-    def _():
-        o_ref[:, pl.ds(d, 1), :] = acc
-
-    @pl.when(vc > 0)
-    def _():
-        o_ref[:, pl.ds(d, 1), :] += acc
+# ------------------------------------------------------------------- prepare
 
 
-def _prepare(coords, weights, radii_per_atom, mask, spec, d_offset=0, d_count=None):
-    vp, c = weights.shape
+def _prepare_common(coords, weights, mask, spec, d_offset, d_count):
+    """XLA-side precompute shared by all kernel variants (batched shapes).
+
+    coords: (B, Vp, 3); weights: (B, Vp, C); mask: (B, Vp) or None.
+    Returns dx2 (B, Dl, Vp), dyz2_t (B, HWp, Vp), wt (B, Cp, Vp), dims.
+    """
+    b, vp, c = weights.shape
     dim = spec.dimension
+    dl = dim if d_count is None else d_count
     hw = dim * dim
     hwp = round_up(hw, 128)
     cp = round_up(max(c, 1), 8)
+    dtype = jnp.float32
 
-    dx2, dy2, dz2 = _per_axis_sq_deltas(coords, spec, d_offset, d_count)
-    dyz2 = (dy2[:, :, None] + dz2[:, None, :]).reshape(vp, hw)
+    ax = _axis_positions(spec, dtype)  # (dim,)
+    axd = _axis_positions(spec, dtype, d_offset, d_count) if d_count is not None else ax  # (Dl,)
+
+    # (B, Dl, Vp): depth-axis squared deltas, atoms on lanes
+    dx = axd[None, :, None] - coords[:, None, :, 0]
+    dx2 = dx * dx
+    # (B, H, Vp) and (B, W, Vp) -> (B, HWp, Vp) cross-plane squared distance
+    dy = ax[None, :, None] - coords[:, None, :, 1]
+    dz = ax[None, :, None] - coords[:, None, :, 2]
+    dyz2 = (dy * dy)[:, :, None, :] + (dz * dz)[:, None, :, :]  # (B, H, W, Vp)
+    dyz2_t = dyz2.reshape(b, hw, vp)
     if hwp != hw:
-        dyz2 = jnp.pad(dyz2, ((0, 0), (0, hwp - hw)), constant_values=BIG)
+        dyz2_t = jnp.pad(dyz2_t, ((0, 0), (0, hwp - hw), (0, 0)), constant_values=BIG)
 
-    wt = weights.T  # (C, Vp)
+    wt = jnp.swapaxes(weights, 1, 2).astype(dtype)  # (B, C, Vp)
     if mask is not None:
-        wt = jnp.where(mask[None, :], wt, 0.0)
+        wt = jnp.where(mask[:, None, :], wt, 0.0)
     if cp != c:
-        wt = jnp.pad(wt, ((0, cp - c), (0, 0)))
-
-    if radii_per_atom is not None:
-        r2 = radii_per_atom * radii_per_atom  # (Vp,)
-        if mask is not None:
-            r2 = jnp.where(mask, r2, 1.0)
-    else:
-        r2 = None
-    return dx2, dyz2, wt, r2, hw, hwp, cp
+        wt = jnp.pad(wt, ((0, 0), (0, cp - c), (0, 0)))
+    return dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp)
 
 
-def _tiling(vp, c, cp, dim, hwp):
-    ct = _channel_tile(cp, dim, hwp)
-    if ct is None:
-        raise ValueError(
-            f"grid {dim}^3 x {c}ch exceeds the single-kernel VMEM budget; "
-            "use impl='dense' or depth-sharding (molvoxel_tpu.parallel)"
+def _rows(x):
+    """(B, Dl, Vp) -> (B, 1, Dl*Vp) row layout for (1, A) lane-blocked specs."""
+    b = x.shape[0]
+    return x.reshape(b, 1, -1)
+
+
+def _skip_flags(dyz2_t, thresh, hwt, a):
+    """(B, nhwt, nvc, Dl) int32: does any atom of chunk vc reach tile (ht, d)?
+
+    An atom reaches a tile iff min over the tile's voxels of dyz2 is <= its
+    threshold r^2 - dx^2[d].  Tiles/planes/chunks with no reaching atom are
+    skipped entirely in the kernel — for compact molecules in a large box
+    this prunes most of the V x N work (the TPU analog of the reference's
+    host-side block binning, numpy/voxelizer.py:496-527, minus its boundary
+    bug).
+    """
+    b, hwp, vp = dyz2_t.shape
+    dl = thresh.shape[1]
+    nhwt = hwp // hwt
+    nvc = vp // a
+    min_tile = dyz2_t.reshape(b, nhwt, hwt, vp).min(axis=2)  # (B, nhwt, Vp)
+    reach = min_tile[:, :, None, :] <= thresh[:, None, :, :]  # (B, nhwt, Dl, Vp)
+    flags = reach.reshape(b, nhwt, dl, nvc, a).any(axis=4)  # (B, nhwt, Dl, nvc)
+    flags = jnp.swapaxes(flags, 2, 3).reshape(b * nhwt * nvc, dl).astype(jnp.int32)
+    rows = flags.shape[0]
+    pad = (-rows) % 8
+    if pad:
+        flags = jnp.pad(flags, ((0, pad), (0, 0)), constant_values=1)
+    return flags  # (R8, Dl): row (b*nhwt + ht)*nvc + vc, padded to 8-row tiles
+
+
+# ------------------------------------------------------------------- kernels
+
+
+def _kernel_gaussian(flag_ref, thresh_ref, ex_ref, dyz2_ref, eyz_ref, wt_ref, o_ref, *, ct: int, hwt: int,
+                     nhwt: int, nvc: int):
+    vc = pl.program_id(3)
+    d = pl.program_id(4)
+    lin = (pl.program_id(0) * nhwt + pl.program_id(2)) * nvc + vc
+    active = flag_ref[lin % 8, d] > 0
+
+    @pl.when(active)
+    def _():
+        wts = wt_ref[0] * ex_ref[0]  # (Ct, A) * (1, A): plane factor folded into weights
+        dens = jnp.where(dyz2_ref[0] <= thresh_ref[0], eyz_ref[0], 0.0)  # (HWt, A)
+        acc = jax.lax.dot_general(
+            wts, dens, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (Ct, HWt)
+
+        @pl.when(vc == 0)
+        def _():
+            o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
+
+        @pl.when(vc > 0)
+        def _():
+            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+
+    # a skipped first atom-chunk must still zero-initialize its output row
+    @pl.when(jnp.logical_and(vc == 0, jnp.logical_not(active)))
+    def _():
+        o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
+
+
+def _kernel_binary(flag_ref, thresh_ref, dyz2_ref, wt_ref, o_ref, *, ct: int, hwt: int,
+                   nhwt: int, nvc: int):
+    vc = pl.program_id(3)
+    d = pl.program_id(4)
+    lin = (pl.program_id(0) * nhwt + pl.program_id(2)) * nvc + vc
+    active = flag_ref[lin % 8, d] > 0
+
+    @pl.when(active)
+    def _():
+        dens = jnp.where(dyz2_ref[0] <= thresh_ref[0], 1.0, 0.0)  # (HWt, A)
+        acc = jax.lax.dot_general(
+            wt_ref[0], dens, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-    if vp % 128 != 0:
-        raise ValueError(f"padded atom count must be a multiple of 128 (core.config.atom_bucket), got {vp}")
-    a = _atom_chunk(vp, hwp, ct * dim * hwp * 4)
-    return ct, a
+
+        @pl.when(vc == 0)
+        def _():
+            o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
+
+        @pl.when(vc > 0)
+        def _():
+            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+
+    @pl.when(jnp.logical_and(vc == 0, jnp.logical_not(active)))
+    def _():
+        o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
+
+
+def _kernel_channelwise(dx2_ref, dyz2_ref, wt_ref, r2c_ref, coefc_ref, o_ref, *, ct: int, gaussian: bool):
+    vc = pl.program_id(3)
+    d = pl.program_id(4)
+    d2 = dyz2_ref[0] + dx2_ref[0]  # (HWt, A) + (1, A)
+    rows = []
+    for ci in range(ct):
+        r2 = r2c_ref[0, ci]
+        if gaussian:
+            dens = jnp.where(d2 <= r2, jnp.exp(d2 * coefc_ref[0, ci]), 0.0)
+        else:
+            dens = jnp.where(d2 <= r2, 1.0, 0.0)
+        rows.append(
+            jax.lax.dot_general(
+                wt_ref[0, ci : ci + 1, :], dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    acc = jnp.concatenate(rows, axis=0)  # (Ct, HWt)
+
+    @pl.when(vc == 0)
+    def _():
+        o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
+
+    @pl.when(vc > 0)
+    def _():
+        o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+
+
+# ------------------------------------------------------------------ wrappers
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
-def voxelize_pallas(
+def voxelize_pallas_batch(
+    coords: jnp.ndarray,  # (B, Vp, 3)
+    weights: jnp.ndarray,  # (B, Vp, C)
+    radii: jnp.ndarray,  # (Vp,) shared or (B, Vp)
+    *,
+    spec: GridSpec,
+    density_type: str = "gaussian",
+    sigma: float = 0.5,
+    mask: jnp.ndarray | None = None,  # (B, Vp)
+    d_offset=0,
+    d_count: int | None = None,
+) -> jnp.ndarray:
+    """Batched fused deposit -> (B, C, Dl, H, W).  Per-atom radii."""
+    gaussian = density_type == "gaussian"
+    dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
+        coords, weights, mask, spec, d_offset, d_count
+    )
+
+    radii = jnp.asarray(radii, jnp.float32)
+    if radii.ndim == 1:
+        radii = jnp.broadcast_to(radii[None, :], (b, vp))
+    r2 = radii * radii  # (B, Vp)
+    if mask is not None:
+        r2 = jnp.where(mask, r2, 1.0)
+
+    thresh = r2[:, None, :] - dx2  # (B, Dl, Vp): cutoff as dyz2 <= thresh
+    streams = 2 if gaussian else 1
+    ct, a, hwt = _tiles(vp, cp, dl, hwp, streams)
+    nvc = vp // a
+    grid = (b, cp // ct, hwp // hwt, nvc, dl)
+
+    nhwt = hwp // hwt
+    flags = _skip_flags(dyz2_t, thresh, hwt, a)  # (R8, Dl)
+    thresh_rows = _rows(thresh)  # (B, 1, Dl*Vp)
+    flag_spec = pl.BlockSpec(
+        (8, dl), lambda bb, cb, ht, vc, d: (((bb * nhwt + ht) * nvc + vc) // 8, 0), memory_space=pltpu.SMEM
+    )
+    row_spec = pl.BlockSpec((1, 1, a), lambda bb, cb, ht, vc, d: (bb, 0, d * nvc + vc), memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, hwt, a), lambda bb, cb, ht, vc, d: (bb, ht, vc), memory_space=pltpu.VMEM)
+    wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht, vc, d: (bb, cb, vc), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht, vc, d: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * b * cp * vp * dl * hwp + 2 * b * vp * dl * hwp,
+        bytes_accessed=b * (cp // ct) * vp * hwp * 4 * streams + b * cp * dl * hwp * 4,
+        transcendentals=b * vp * hwp if gaussian else 0,
+    )
+
+    if gaussian:
+        coef = -(0.5 / (sigma * sigma)) / r2  # (B, Vp)
+        ex_rows = _rows(jnp.exp(dx2 * coef[:, None, :]))  # (B, 1, Dl*Vp)
+        eyz_t = jnp.exp(dyz2_t * coef[:, None, :])  # (B, HWp, Vp)
+        out = pl.pallas_call(
+            functools.partial(_kernel_gaussian, ct=ct, hwt=hwt, nhwt=nhwt, nvc=nvc),
+            grid=grid,
+            in_specs=[flag_spec, row_spec, row_spec, tile_spec, tile_spec, wt_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(flags, thresh_rows, ex_rows, dyz2_t, eyz_t, wt)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel_binary, ct=ct, hwt=hwt, nhwt=nhwt, nvc=nvc),
+            grid=grid,
+            in_specs=[flag_spec, row_spec, tile_spec, wt_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(flags, thresh_rows, dyz2_t, wt)
+    return out[:, :c, :, :hw].reshape(b, c, dl, dim, dim)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
+def voxelize_pallas_batch_channelwise(
     coords: jnp.ndarray,
     weights: jnp.ndarray,
-    radii: jnp.ndarray,
+    radii: jnp.ndarray,  # (C,)
     *,
     spec: GridSpec,
     density_type: str = "gaussian",
@@ -181,91 +362,66 @@ def voxelize_pallas(
     d_offset=0,
     d_count: int | None = None,
 ) -> jnp.ndarray:
-    """Pallas TPU path of ops.dense.voxelize_dense (same contract, (V,) radii)."""
-    vp, c = weights.shape
-    dim = spec.dimension
-    dloc = dim if d_count is None else d_count
+    """Batched fused deposit with channel-wise radii ((C,) shared)."""
     gaussian = density_type == "gaussian"
+    dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
+        coords, weights, mask, spec, d_offset, d_count
+    )
 
-    dx2, dyz2, wt, r2, hw, hwp, cp = _prepare(coords, weights, radii, mask, spec, d_offset, d_count)
-    coef = (-(0.5 / (sigma * sigma)) / r2)[:, None]  # (Vp, 1) gaussian exponent scale
-    r2 = r2[:, None]  # (Vp, 1)
+    r2c = jnp.pad((radii * radii).astype(jnp.float32), (0, cp - c), constant_values=1.0)  # (Cp,)
+    coefc = -(0.5 / (sigma * sigma)) / r2c
+    r2c = jnp.broadcast_to(r2c[None, :], (b, cp))
+    coefc = jnp.broadcast_to(coefc[None, :], (b, cp))
 
-    ct, a = _tiling(vp, c, cp, dloc, hwp)
+    ct, a, hwt = _tiles(vp, cp, dl, hwp, 1)
     nvc = vp // a
-    grid = (cp // ct, nvc, dloc)
-    # (Dl*Vp, 1) column layout: the (A, 1) per-plane atom-chunk column is pure
-    # BlockSpec indexing (block d*nvc + vc), no in-kernel dynamic slicing.
-    dx2cols = dx2.T.reshape(dloc * vp, 1)
+    grid = (b, cp // ct, hwp // hwt, nvc, dl)
 
-    kernel = functools.partial(_deposit_kernel, gaussian=gaussian)
+    dx2_rows = _rows(dx2)
+    row_spec = pl.BlockSpec((1, 1, a), lambda bb, cb, ht, vc, d: (bb, 0, d * nvc + vc), memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, hwt, a), lambda bb, cb, ht, vc, d: (bb, ht, vc), memory_space=pltpu.VMEM)
+    wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht, vc, d: (bb, cb, vc), memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec((1, ct), lambda bb, cb, ht, vc, d: (bb, cb), memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht, vc, d: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_channelwise, ct=ct, gaussian=gaussian)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((a, 1), lambda cb, vc, d: (d * nvc + vc, 0), memory_space=pltpu.VMEM),  # dx2 column
-            pl.BlockSpec((a, hwp), lambda cb, vc, d: (vc, 0), memory_space=pltpu.VMEM),  # dyz2
-            pl.BlockSpec((ct, a), lambda cb, vc, d: (cb, vc), memory_space=pltpu.VMEM),  # wT
-            pl.BlockSpec((a, 1), lambda cb, vc, d: (vc, 0), memory_space=pltpu.VMEM),  # r2
-            pl.BlockSpec((a, 1), lambda cb, vc, d: (vc, 0), memory_space=pltpu.VMEM),  # coef
-        ],
-        out_specs=pl.BlockSpec((ct, dloc, hwp), lambda cb, vc, d: (cb, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cp, dloc, hwp), jnp.float32),
+        in_specs=[row_spec, tile_spec, wt_spec, scal_spec, scal_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * cp * vp * dloc * hwp + 8 * vp * dloc * hwp,
-            bytes_accessed=(cp // ct) * vp * hwp * 4 + cp * dloc * hwp * 4,
-            transcendentals=vp * dloc * hwp if gaussian else 0,
+            flops=2 * b * cp * vp * dl * hwp + 6 * b * cp * vp * dl * hwp,
+            bytes_accessed=b * (cp // ct) * vp * hwp * 4 + b * cp * dl * hwp * 4,
+            transcendentals=b * cp * vp * dl * hwp if gaussian else 0,
         ),
         interpret=_interpret(),
-    )(dx2cols, dyz2, wt, r2, coef)
-    return out[:c, :, :hw].reshape(c, dloc, dim, dim)
+    )(dx2_rows, dyz2_t, wt, r2c, coefc)
+    return out[:, :c, :, :hw].reshape(b, c, dl, dim, dim)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
-def voxelize_pallas_channelwise(
-    coords: jnp.ndarray,
-    weights: jnp.ndarray,
-    radii: jnp.ndarray,
-    *,
-    spec: GridSpec,
-    density_type: str = "gaussian",
-    sigma: float = 0.5,
-    mask: jnp.ndarray | None = None,
-    d_offset=0,
-    d_count: int | None = None,
-) -> jnp.ndarray:
-    """Pallas path with channel-wise radii ((C,) radii, shared per channel)."""
-    vp, c = weights.shape
-    dim = spec.dimension
-    dloc = dim if d_count is None else d_count
-    gaussian = density_type == "gaussian"
+# ------------------------------------------------- single-molecule wrappers
 
-    dx2, dyz2, wt, _, hw, hwp, cp = _prepare(coords, weights, None, mask, spec, d_offset, d_count)
-    r2c = (radii * radii).astype(jnp.float32)
-    r2c = jnp.pad(r2c, (0, cp - c), constant_values=1.0)[:, None]  # (Cp, 1)
 
-    ct, a = _tiling(vp, c, cp, dloc, hwp)
-    nvc = vp // a
-    grid = (cp // ct, nvc, dloc)
-    dx2cols = dx2.T.reshape(dloc * vp, 1)
+def voxelize_pallas(coords, weights, radii, *, spec, density_type="gaussian", sigma=0.5, mask=None,
+                    d_offset=0, d_count=None):
+    """Single-molecule fused deposit -> (C, Dl, H, W); see voxelize_pallas_batch."""
+    radii = jnp.asarray(radii, jnp.float32)
+    out = voxelize_pallas_batch(
+        coords[None], weights[None], radii if radii.ndim == 1 else radii[None],
+        spec=spec, density_type=density_type, sigma=sigma,
+        mask=None if mask is None else mask[None], d_offset=d_offset, d_count=d_count,
+    )
+    return out[0]
 
-    kernel = functools.partial(_deposit_channelwise_kernel, gaussian=gaussian, ct=ct, sigma=sigma)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((a, 1), lambda cb, vc, d: (d * nvc + vc, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a, hwp), lambda cb, vc, d: (vc, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, a), lambda cb, vc, d: (cb, vc), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, 1), lambda cb, vc, d: (cb, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((ct, dloc, hwp), lambda cb, vc, d: (cb, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cp, dloc, hwp), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * cp * vp * dloc * hwp + 8 * cp * vp * dloc * hwp,
-            bytes_accessed=(cp // ct) * vp * hwp * 4 + cp * dloc * hwp * 4,
-            transcendentals=cp * vp * dloc * hwp if gaussian else 0,
-        ),
-        interpret=_interpret(),
-    )(dx2cols, dyz2, wt, r2c)
-    return out[:c, :, :hw].reshape(c, dloc, dim, dim)
+
+def voxelize_pallas_channelwise(coords, weights, radii, *, spec, density_type="gaussian", sigma=0.5, mask=None,
+                                d_offset=0, d_count=None):
+    """Single-molecule channel-wise fused deposit -> (C, Dl, H, W)."""
+    out = voxelize_pallas_batch_channelwise(
+        coords[None], weights[None], jnp.asarray(radii, jnp.float32),
+        spec=spec, density_type=density_type, sigma=sigma,
+        mask=None if mask is None else mask[None], d_offset=d_offset, d_count=d_count,
+    )
+    return out[0]

@@ -30,13 +30,13 @@ def default_impl() -> str:
 
 
 def default_batch_impl() -> str:
-    """Implementation for vmapped (batched) calls.
+    """Implementation for batched calls.
 
-    vmap-of-pallas_call currently miscompiles on the TPU toolchain in this
-    image; batched execution uses the dense XLA path until the natively
-    batched pallas kernel (leading batch grid dimension) lands.
+    On TPU the natively batched Pallas kernel (leading batch grid dimension)
+    is used — vmap-of-pallas_call miscompiles in this toolchain, which is why
+    batching is built into the kernel itself rather than mapped over it.
     """
-    return "dense"
+    return default_impl()
 
 
 def voxelize(
@@ -60,6 +60,14 @@ def voxelize(
     """
     if impl == "auto":
         impl = default_impl()
+    if density_type == "gaussian_notrunc":
+        # fully-separable: one well-shaped matmul, backend-portable (ops/separable.py)
+        from .separable import voxelize_separable
+
+        return voxelize_separable(
+            coords, weights, radii, spec=spec, sigma=sigma, mask=mask,
+            d_offset=d_offset, d_count=d_count, channelwise_radii=channelwise_radii,
+        )
     kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
     if impl == "pallas":
         from .pallas_deposit import voxelize_pallas, voxelize_pallas_channelwise

@@ -12,6 +12,9 @@ Three execution schemes, all over a (data, depth) Mesh (parallel/mesh.py):
 3. ``voxelize_batch_2d`` — both at once: batch over "data", depth over
    "depth"; the full-step collective is a psum of per-shard deposited mass
    (the library's throughput/qc metric).
+
+Inside every shard the compute is the same batched op the single-device path
+uses (ops.batch.voxelize_batch -> natively batched Pallas kernel on TPU).
 """
 
 from __future__ import annotations
@@ -24,26 +27,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import GridSpec
 from ..core.transform import do_random_transform
+from ..ops.batch import voxelize_batch
 from ..ops.voxelize import voxelize
 from .mesh import DATA_AXIS, DEPTH_AXIS
-
-
-def _shard_impl(impl: str) -> str:
-    # sharded paths vmap over local batches; resolve "auto" to the batch
-    # implementation (see ops.voxelize.default_batch_impl)
-    from ..ops.voxelize import default_batch_impl
-
-    return default_batch_impl() if impl == "auto" else impl
-
-
-def _transform_then_voxelize(coords, weights, radii, mask, center, key, random_translation, *, spec, density_type,
-                             sigma, random_rotation, channelwise, impl, d_offset=0, d_count=None):
-    coords = coords - center[None, :].astype(coords.dtype)
-    coords = do_random_transform(key, coords, None, random_translation, random_rotation)
-    return voxelize(
-        coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask,
-        channelwise_radii=channelwise, impl=impl, d_offset=d_offset, d_count=d_count,
-    )
 
 
 @functools.partial(
@@ -75,14 +61,12 @@ def voxelize_batch_dp(
         mask = jnp.ones(coords.shape[:2], bool)
     rt = jnp.asarray(random_translation, coords.dtype)
 
-    fn = functools.partial(
-        _transform_then_voxelize,
-        spec=spec, density_type=density_type, sigma=sigma,
-        random_rotation=random_rotation, channelwise=channelwise, impl=_shard_impl(impl),
-    )
-
     def local(coords, weights, mask, centers, keys):
-        return jax.vmap(lambda c, w, m, ce, k: fn(c, w, radii, m, ce, k, rt))(coords, weights, mask, centers, keys)
+        return voxelize_batch(
+            coords, weights, radii, mask, centers, keys, rt,
+            spec=spec, density_type=density_type, sigma=sigma,
+            random_rotation=random_rotation, channelwise=channelwise, impl=impl,
+        )
 
     shard = jax.shard_map(
         local,
@@ -131,15 +115,14 @@ def voxelize_depth_sharded(
         mask = jnp.ones((coords.shape[0],), bool)
     rt = jnp.asarray(random_translation, coords.dtype)
 
-    fn = functools.partial(
-        _transform_then_voxelize,
-        spec=spec, density_type=density_type, sigma=sigma,
-        random_rotation=random_rotation, channelwise=channelwise, impl=_shard_impl(impl),
-    )
-
     def local(coords, weights, mask, center, key):
         d0 = jax.lax.axis_index(DEPTH_AXIS) * local_d
-        return fn(coords, weights, radii, mask, center, key, rt, d_offset=d0, d_count=local_d)
+        crd = coords - center[None, :].astype(coords.dtype)
+        crd = do_random_transform(key, crd, None, rt, random_rotation)
+        return voxelize(
+            crd, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask,
+            channelwise_radii=channelwise, impl=impl, d_offset=d0, d_count=local_d,
+        )
 
     shard = jax.shard_map(
         local,
@@ -188,17 +171,14 @@ def voxelize_batch_2d(
         mask = jnp.ones(coords.shape[:2], bool)
     rt = jnp.asarray(random_translation, coords.dtype)
 
-    fn = functools.partial(
-        _transform_then_voxelize,
-        spec=spec, density_type=density_type, sigma=sigma,
-        random_rotation=random_rotation, channelwise=channelwise, impl=_shard_impl(impl),
-    )
-
     def local(coords, weights, mask, centers, keys):
         d0 = jax.lax.axis_index(DEPTH_AXIS) * local_d
-        out = jax.vmap(
-            lambda c, w, m, ce, k: fn(c, w, radii, m, ce, k, rt, d_offset=d0, d_count=local_d)
-        )(coords, weights, mask, centers, keys)
+        out = voxelize_batch(
+            coords, weights, radii, mask, centers, keys, rt,
+            spec=spec, density_type=density_type, sigma=sigma,
+            random_rotation=random_rotation, channelwise=channelwise, impl=impl,
+            d_offset=d0, d_count=local_d,
+        )
         mass = jax.lax.psum(jnp.sum(out), axis_name=(DATA_AXIS, DEPTH_AXIS))
         return out, mass
 

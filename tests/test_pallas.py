@@ -82,6 +82,49 @@ def test_pallas_many_channels(rng):
 
 
 def test_supported_predicate():
+    # the tiled v2 kernel supports all practical grid sizes
     assert pallas_supported(GridSpec(0.5, 48), 14)
     assert pallas_supported(GridSpec(0.5, 64), 4)
-    assert not pallas_supported(GridSpec(0.5, 128), 32)
+    assert pallas_supported(GridSpec(0.5, 128), 32)
+
+
+def test_pallas_batched_matches_dense(rng):
+    import jax
+
+    from molvoxel_tpu.ops.batch import voxelize_batch
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_batch
+
+    b, vp, v, c = 3, 128, 30, 5
+    coords = np.zeros((b, vp, 3), np.float32)
+    coords[:, :v] = rng.uniform(-3, 3, (b, v, 3))
+    weights = np.zeros((b, vp, c), np.float32)
+    weights[:, :v] = rng.uniform(size=(b, v, c))
+    radii = np.ones((vp,), np.float32)
+    mask = np.zeros((b, vp), bool)
+    mask[:, :v] = True
+    got = np.asarray(
+        voxelize_pallas_batch(
+            jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(radii),
+            spec=SPEC, density_type="gaussian", sigma=0.5, mask=jnp.asarray(mask),
+        )
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    want = np.asarray(
+        voxelize_batch(
+            jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(radii),
+            jnp.asarray(mask), None, keys, 0.0, spec=SPEC, impl="dense",
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_depth_slab(rng):
+    coords, weights, radii, mask = padded_cloud(rng)
+    full = np.asarray(voxelize_pallas(coords, weights, radii, spec=SPEC, mask=mask))
+    lower = np.asarray(
+        voxelize_pallas(coords, weights, radii, spec=SPEC, mask=mask, d_offset=0, d_count=8)
+    )
+    upper = np.asarray(
+        voxelize_pallas(coords, weights, radii, spec=SPEC, mask=mask, d_offset=8, d_count=8)
+    )
+    np.testing.assert_allclose(np.concatenate([lower, upper], axis=1), full, atol=1e-6)

@@ -140,6 +140,35 @@ def main():
     case("lig_features_nocenter", coords=lig_coords - lig_center, center=None, mode="features",
          channels=lig_feat_onehot, radii=1.0)
 
+    # reference *torch* backend golden: its gaussian has no radius cutoff
+    # (dead masked_fill_, torch/voxelizer.py:564-567) — our "gaussian_notrunc"
+    # must reproduce it.
+    import torch  # noqa: F401  (cpu build, baked into the image)
+    from molvoxel.voxelizer.torch.voxelizer import Voxelizer as RefTorchVoxelizer
+
+    tvox = RefTorchVoxelizer(resolution=0.5, dimension=48, radii_type="scalar",
+                             density_type="gaussian", blockdim=48, device="cpu")
+    tout = tvox.forward_features(
+        torch.tensor(lig_coords, dtype=torch.float32),
+        torch.tensor(lig_center, dtype=torch.float32),
+        torch.tensor(lig_feat_onehot), 1.0,
+    )
+    np.savez_compressed(
+        OUT_DIR / "lig_features_gaussian_torchref.npz",
+        coords=lig_coords.astype(np.float32),
+        center=lig_center.astype(np.float32),
+        mode=np.array("features"),
+        channels=lig_feat_onehot,
+        radii=np.float32(1.0),
+        radii_type=np.array("scalar"),
+        density=np.array("gaussian_notrunc"),
+        sigma=np.float32(0.5),
+        resolution=np.float32(0.5),
+        dimension=np.int32(48),
+        expected=np.asarray(tout.cpu().numpy(), dtype=np.float32),
+    )
+    print("  lig_features_gaussian_torchref (torch backend, no-cutoff gaussian)")
+
     print(f"pocket complex cases ({pp_coords.shape[0]} atoms):")
     case("pocket_features_gaussian", coords=pp_coords, center=lig_center, mode="features",
          channels=pp_feat, radii=1.0)
