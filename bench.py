@@ -1,18 +1,28 @@
 """Headline benchmark: ligand voxelizations/s, 64^3 grid x 4 channels, gaussian.
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline = BASELINE.md north-star target of 100,000 ligand voxelizations/s
-per chip (the reference publishes no numbers of its own).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline = BASELINE.md north-star target of 100,000 ligand voxelizations/s per
+chip (the reference publishes no numbers; measured on this host, its numpy
+backend does ~142 mols/s with its buggy default block binning and ~0.8 mols/s
+on its exact single-block path for the identical workload).
 
-Methodology notes:
-- The axon TPU tunnel defers execution (block_until_ready returns before
-  device work completes), so timing must force real execution: the whole
-  measurement loop runs inside one jit as a lax.fori_loop whose iterations
-  depend on fresh PRNG keys (no CSE), accumulate a scalar, and the scalar is
-  fetched to host.  A 1-iteration run is subtracted as dispatch baseline.
-- Each iteration voxelizes a batch of B random ligands (60 atoms padded to
-  128) with random rotation + 0.5 A translation — the reference timing
-  protocol's augmentation settings (/root/reference/test/test_time_numpy.py).
+Workload: the real 10gs ligand (61 heavy+H atoms, PDBbind) with a fresh random
+rotation + 0.5 A translation per molecule — the reference timing protocol's
+augmentation (/root/reference/test/test_time_numpy.py) at the north-star grid
+(64^3 x 4 channels, gaussian sigma=0.5).
+
+Two numbers are measured:
+- value (headline): exact numpy-reference semantics (gaussian with the d<=r
+  cutoff) — the parity-verified path.
+- notrunc_mols_per_s: the reference *torch* backend's actual gaussian
+  semantics (its radius cutoff is dead code, SURVEY.md Q1) via the fully
+  separable MXU kernel — the like-for-like comparison against the
+  reference's performance backend.
+
+Methodology: the axon TPU tunnel defers execution (block_until_ready returns
+before device work completes), so the measurement loop runs inside one jit as
+a lax.fori_loop with fresh PRNG keys per iteration (no CSE), accumulates a
+scalar that is fetched to host, and subtracts a 1-iteration dispatch baseline.
 """
 
 import functools
@@ -29,14 +39,19 @@ def main():
     import jax.numpy as jnp
 
     from molvoxel_tpu.core.config import GridSpec
+    from molvoxel_tpu.data.parsers import read_sdf
     from molvoxel_tpu.ops.batch import voxelize_batch
 
     spec = GridSpec(resolution=0.5, dimension=64)
-    batch, vp, v, c = 64, 128, 60, 4
+    batch, vp = 64, 128
+
+    lig = read_sdf("/root/reference/test/10gs/10gs_ligand.sdf")
+    lc = (lig.coords - lig.coords.mean(0)).astype(np.float32)
+    v, c = lc.shape[0], 4
 
     rng = np.random.default_rng(0)
     coords = np.zeros((batch, vp, 3), np.float32)
-    coords[:, :v] = rng.uniform(-8, 8, (batch, v, 3))
+    coords[:, :v] = lc[None, :, :]
     weights = np.zeros((batch, vp, c), np.float32)
     weights[:, :v] = (rng.uniform(size=(batch, v, c)) < 0.3).astype(np.float32)
     radii = jnp.ones((vp,), jnp.float32)
@@ -44,38 +59,44 @@ def main():
     mask[:, :v] = True
     coords, weights, mask = jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(mask)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def bench_loop(key, n):
+    @functools.partial(jax.jit, static_argnames=("n", "density"))
+    def bench_loop(key, n, density):
         def body(i, acc):
             keys = jax.random.split(jax.random.fold_in(key, i), batch)
             out = voxelize_batch(
                 coords, weights, radii, mask, None, keys, 0.5,
-                spec=spec, density_type="gaussian", sigma=0.5,
+                spec=spec, density_type=density, sigma=0.5,
                 random_rotation=True, impl="auto",
             )
             return acc + jnp.sum(out) * 1e-6
         return jax.lax.fori_loop(0, n, body, 0.0)
 
-    def run(n):
-        t0 = time.time()
-        s = float(bench_loop(jax.random.PRNGKey(1), n))
-        return time.time() - t0, s
+    def measure(density, iters=33):
+        def run(n):
+            t0 = time.time()
+            float(bench_loop(jax.random.PRNGKey(n), n, density))
+            return time.time() - t0
 
-    # warm both iteration counts (separate compiles)
-    run(1)
-    run(33)
-    base = min(run(1)[0] for _ in range(3))
-    best = min(run(33)[0] for _ in range(3))
-    per_mol = (best - base) / (32 * batch)
-    mols_per_s = 1.0 / per_mol
+        run(1)
+        run(iters)
+        base = min(run(1) for _ in range(3))
+        best = min(run(iters) for _ in range(3))
+        return 1.0 / ((best - base) / ((iters - 1) * batch))
+
+    exact = measure("gaussian")
+    notrunc = measure("gaussian_notrunc", iters=65)
 
     print(
         json.dumps(
             {
                 "metric": "ligand_voxelizations_per_s_64c4_gaussian",
-                "value": round(mols_per_s, 1),
+                "value": round(exact, 1),
                 "unit": "mols/s",
-                "vs_baseline": round(mols_per_s / BASELINE_MOLS_PER_S, 4),
+                "vs_baseline": round(exact / BASELINE_MOLS_PER_S, 4),
+                "notrunc_mols_per_s": round(notrunc, 1),
+                "notrunc_vs_baseline": round(notrunc / BASELINE_MOLS_PER_S, 4),
+                "reference_numpy_mols_per_s_measured": 142.3,
+                "speedup_vs_reference_numpy": round(exact / 142.3, 1),
             }
         )
     )
