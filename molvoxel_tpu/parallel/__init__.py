@@ -8,6 +8,7 @@ from .mesh import (
     replicated_sharding,
 )
 from .sharded import voxelize_batch_2d, voxelize_batch_dp, voxelize_depth_sharded
+from .stream import StreamingVoxelizer, StreamStats
 
 __all__ = [
     "DATA_AXIS",
@@ -19,5 +20,7 @@ __all__ = [
     "replicated_sharding",
     "voxelize_batch_2d",
     "voxelize_batch_dp",
+    "StreamingVoxelizer",
+    "StreamStats",
     "voxelize_depth_sharded",
 ]
