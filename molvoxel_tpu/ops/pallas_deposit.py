@@ -244,6 +244,74 @@ def _kernel_binary(flag_ref, thresh_ref, dyz2_ref, wt_ref, o_ref, *, ct: int, hw
         o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
 
 
+def _kernel_gaussian_resident(flag_ref, thresh_ref, ex_ref, dyz2_ref, eyz_ref, wt_ref, o_ref, *,
+                              dl: int, a: int, ct: int, hwt: int, nhwt: int):
+    """Single-atom-chunk regime: all operands resident, depth loop in-kernel.
+
+    With V <= one chunk the (vc, d) grid collapses to a fori_loop over depth
+    planes — 64x fewer grid steps, so the per-step pipeline overhead stops
+    dominating the (small) per-plane compute.  Inactive planes (skip flag 0)
+    cost one branch and a zero-fill."""
+    lin = pl.program_id(0) * nhwt + pl.program_id(2)
+    dyz2 = dyz2_ref[0]  # (HWt, A)
+    eyz = eyz_ref[0]
+    wt = wt_ref[0]  # (Ct, A)
+
+    def body(d, carry):
+        active = flag_ref[lin % 8, d] > 0
+
+        @pl.when(active)
+        def _():
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]  # (1, A)
+            exr = ex_ref[0, 0:1, pl.ds(off, a)]
+            dens = jnp.where(dyz2 <= th, eyz, 0.0)
+            # measured on-chip: a manual bf16x4 split is only ~6% faster than
+            # HIGHEST here (MXU overlaps the VPU mask pass) and costs accuracy
+            acc = jax.lax.dot_general(
+                wt * exr, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, dl, body, 0)
+
+
+def _kernel_binary_resident(flag_ref, thresh_ref, dyz2_ref, wt_ref, o_ref, *,
+                            dl: int, a: int, ct: int, hwt: int, nhwt: int):
+    lin = pl.program_id(0) * nhwt + pl.program_id(2)
+    dyz2 = dyz2_ref[0]
+    wt = wt_ref[0]
+
+    def body(d, carry):
+        active = flag_ref[lin % 8, d] > 0
+
+        @pl.when(active)
+        def _():
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            dens = jnp.where(dyz2 <= th, 1.0, 0.0)
+            acc = jax.lax.dot_general(
+                wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, dl, body, 0)
+
+
 def _kernel_channelwise(dx2_ref, dyz2_ref, wt_ref, r2c_ref, coefc_ref, o_ref, *, ct: int, gaussian: bool):
     vc = pl.program_id(3)
     d = pl.program_id(4)
@@ -308,6 +376,10 @@ def voxelize_pallas_batch(
     grid = (b, cp // ct, hwp // hwt, nvc, dl)
 
     nhwt = hwp // hwt
+    if nvc == 1:
+        return _run_resident(
+            dyz2_t, thresh, wt, r2, gaussian, sigma, b, vp, c, cp, dim, dl, hw, hwp, ct, a, hwt, mask
+        )
     flags = _skip_flags(dyz2_t, thresh, hwt, a)  # (R8, Dl)
     thresh_rows = _rows(thresh)  # (B, 1, Dl*Vp)
     flag_spec = pl.BlockSpec(
@@ -339,6 +411,51 @@ def voxelize_pallas_batch(
     else:
         out = pl.pallas_call(
             functools.partial(_kernel_binary, ct=ct, hwt=hwt, nhwt=nhwt, nvc=nvc),
+            grid=grid,
+            in_specs=[flag_spec, row_spec, tile_spec, wt_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(flags, thresh_rows, dyz2_t, wt)
+    return out[:, :c, :, :hw].reshape(b, c, dl, dim, dim)
+
+
+def _run_resident(dyz2_t, thresh, wt, r2, gaussian, sigma, b, vp, c, cp, dim, dl, hw, hwp, ct, a, hwt, mask):
+    """nvc == 1 launch: resident operands, in-kernel depth loop."""
+    # measured on-chip: 1024-lane tiles beat 2048 (finer skip-flag granularity
+    # outweighs the extra grid steps)
+    nhwt = hwp // hwt
+    flags = _skip_flags(dyz2_t, thresh, hwt, a)  # (R8, Dl) with nvc == 1
+    thresh_rows = _rows(thresh)  # (B, 1, Dl*Vp) == (B, 1, Dl*A)
+    grid = (b, cp // ct, nhwt)
+    flag_spec = pl.BlockSpec((8, dl), lambda bb, cb, ht: ((bb * nhwt + ht) // 8, 0), memory_space=pltpu.SMEM)
+    row_spec = pl.BlockSpec((1, 1, dl * a), lambda bb, cb, ht: (bb, 0, 0), memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, hwt, a), lambda bb, cb, ht: (bb, ht, 0), memory_space=pltpu.VMEM)
+    wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht: (bb, cb, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * b * cp * vp * dl * hwp + 2 * b * vp * dl * hwp,
+        bytes_accessed=b * (cp // ct) * vp * hwp * 4 * (2 if gaussian else 1) + b * cp * dl * hwp * 4,
+        transcendentals=b * vp * hwp if gaussian else 0,
+    )
+    if gaussian:
+        coef = -(0.5 / (sigma * sigma)) / r2  # (B, Vp)
+        dx2 = r2[:, None, :] - thresh  # (B, Dl, Vp)
+        ex_rows = _rows(jnp.exp(dx2 * coef[:, None, :]))
+        eyz_t = jnp.exp(dyz2_t * coef[:, None, :])
+        out = pl.pallas_call(
+            functools.partial(_kernel_gaussian_resident, dl=dl, a=a, ct=ct, hwt=hwt, nhwt=nhwt),
+            grid=grid,
+            in_specs=[flag_spec, row_spec, row_spec, tile_spec, tile_spec, wt_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(flags, thresh_rows, ex_rows, dyz2_t, eyz_t, wt)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel_binary_resident, dl=dl, a=a, ct=ct, hwt=hwt, nhwt=nhwt),
             grid=grid,
             in_specs=[flag_spec, row_spec, tile_spec, wt_spec],
             out_specs=out_spec,
