@@ -1,0 +1,144 @@
+"""Full benchmark sweep -> BENCHMARKS.md.
+
+Covers the reference's own timing protocol shapes (10gs ligand / complex /
+protein, /root/reference/test/test_time_numpy.py) plus the north-star config,
+on real hardware with deferred-execution-safe timing (utils/timing.py).
+
+Run:  python benchmarks/report.py
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from molvoxel_tpu.utils.timing import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(str(REPO / ".jax_cache"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from molvoxel_tpu.core.config import GridSpec, atom_bucket  # noqa: E402
+from molvoxel_tpu.data import AtomTypeGetter, BondTypeGetter, MolPointCloudMaker, read_pdb, read_sdf  # noqa: E402
+from molvoxel_tpu.ops.batch import voxelize_batch  # noqa: E402
+
+
+def load_cases():
+    lig = read_sdf("/root/reference/test/10gs/10gs_ligand.sdf")
+    prot = read_pdb("/root/reference/test/10gs/10gs_protein_nowater.pdb").without_hydrogens()
+
+    ag = AtomTypeGetter(["C", "N", "O", "S"], unknown=True)
+    bg = BondTypeGetter.default()
+    maker = MolPointCloudMaker(ag, bg, channel_type="features")
+    lig_coords, lig_feats = maker.run(lig)
+    center = lig.coords.mean(0)
+
+    prot_types = np.asarray([{"C": 0, "N": 1, "O": 2, "S": 3}.get(s, 3) for s in prot.symbols])
+    prot_feats = np.eye(4, dtype=np.float32)[prot_types]
+
+    complex_coords = np.concatenate([lig_coords, prot.coords])
+    complex_feats = np.zeros((complex_coords.shape[0], lig_feats.shape[1] + 4), np.float32)
+    complex_feats[: lig_feats.shape[0], : lig_feats.shape[1]] = lig_feats
+    complex_feats[lig_feats.shape[0] :, lig_feats.shape[1] :] = prot_feats
+
+    return [
+        # name, coords, feats, center, dim, batch
+        ("ligand 64^3 x4ch", lig.coords - center, np.eye(4, dtype=np.float32)[
+            np.asarray([{"C": 0, "N": 1, "O": 2, "S": 3}.get(s, 3) for s in lig.symbols])], 64, 64),
+        ("ligand+bonds 48^3 x9ch", lig_coords - center, lig_feats, 48, 64),
+        ("complex 48^3 x13ch (6.6k pts)", complex_coords - center, complex_feats, 48, 8),
+        ("protein 48^3 x4ch (3.3k atoms)", prot.coords - center, prot_feats, 48, 8),
+        ("ligand 128^3 x4ch", lig.coords - center, np.eye(4, dtype=np.float32)[
+            np.asarray([{"C": 0, "N": 1, "O": 2, "S": 3}.get(s, 3) for s in lig.symbols])], 128, 8),
+    ]
+
+
+def pad_batch(coords, feats, batch):
+    v, c = feats.shape
+    vp = atom_bucket(v)
+    bc = np.zeros((batch, vp, 3), np.float32)
+    bw = np.zeros((batch, vp, c), np.float32)
+    bc[:, :v] = coords[None]
+    bw[:, :v] = feats[None]
+    mask = np.zeros((batch, vp), bool)
+    mask[:, :v] = True
+    return jnp.asarray(bc), jnp.asarray(bw), jnp.asarray(mask), vp
+
+
+def measure(coords, feats, dim, batch, density):
+    spec = GridSpec(0.5, dim)
+    bc, bw, mask, vp = pad_batch(coords, feats, batch)
+    radii = jnp.ones((vp,), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(key, n):
+        def body(i, acc):
+            keys = jax.random.split(jax.random.fold_in(key, i), batch)
+            out = voxelize_batch(bc, bw, radii, mask, None, keys, 0.5,
+                                 spec=spec, density_type=density, sigma=0.5,
+                                 random_rotation=True, impl="auto")
+            return acc + jnp.sum(out) * 1e-6
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    def run(n):
+        t0 = time.time()
+        float(loop(jax.random.PRNGKey(n), n))
+        return time.time() - t0
+
+    iters = 17
+    run(1)
+    run(iters)
+    base = min(run(1) for _ in range(2))
+    best = min(run(iters) for _ in range(2))
+    per = (best - base) / ((iters - 1) * batch)
+    return per
+
+
+def main():
+    rows = []
+    for name, coords, feats, dim, batch in load_cases():
+        for density in ["gaussian", "binary", "gaussian_notrunc"]:
+            try:
+                per = measure(coords.astype(np.float32), feats, dim, batch, density)
+                rate = 1.0 / per
+                rows.append((name, density, per * 1e6, rate))
+                print(f"{name:34s} {density:18s} {per*1e6:9.1f} us/mol  {rate:10.0f} mols/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                rows.append((name, density, float("nan"), float("nan")))
+                print(f"{name:34s} {density:18s} FAILED: {str(e)[:80]}", flush=True)
+
+    out = REPO / "BENCHMARKS.md"
+    lines = [
+        "# Benchmarks (single TPU chip)",
+        "",
+        f"Measured on `{jax.default_backend()}` via `benchmarks/report.py` "
+        "(random rotation + 0.5 A translation per molecule, f32, parity-exact "
+        "semantics except `gaussian_notrunc` = the reference torch backend's "
+        "no-cutoff gaussian).",
+        "",
+        "| workload | density | us/mol | mols/s |",
+        "|---|---|---:|---:|",
+    ]
+    for name, density, us, rate in rows:
+        lines.append(f"| {name} | {density} | {us:.1f} | {rate:,.0f} |")
+    lines += [
+        "",
+        "Reference comparison (same host, 10gs ligand 64^3 x 4ch gaussian): the",
+        "reference numpy backend measures ~142 mols/s with its default (buggy)",
+        "block binning and ~0.8 mols/s on its exact single-block path.",
+        "",
+    ]
+    out.write_text("\n".join(lines))
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Command-line interface.
+
+The reference ships no CLI (SURVEY.md section 0); this one covers the common
+workflows end to end:
+
+    python -m molvoxel_tpu info
+    python -m molvoxel_tpu voxelize ligands.sdf -o grids.npz --channels C,N,O,S
+    python -m molvoxel_tpu voxelize complex.pdb --dx out_dx/ --dimension 48
+    python -m molvoxel_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _cmd_info(args) -> int:
+    import jax
+
+    from . import __version__
+    from .native import NATIVE_AVAILABLE
+
+    print(f"molvoxel-tpu {__version__}")
+    print(f"jax {jax.__version__}, backend {jax.default_backend()}, {len(jax.devices())} device(s)")
+    print(f"native fast parser: {'yes' if NATIVE_AVAILABLE else 'no (pure-python fallback)'}")
+    try:
+        import rdkit  # noqa: F401
+
+        print("rdkit: yes")
+    except ImportError:
+        print("rdkit: no (built-in SDF/PDB parsers active)")
+    return 0
+
+
+def _load_molecules(path: Path, hydrogens: bool):
+    from .data.parsers import read_pdb
+    from .native import parse_sdf_file
+
+    if path.suffix in (".sdf", ".mol"):
+        mols = parse_sdf_file(path)
+    elif path.suffix in (".pdb", ".ent"):
+        mols = [read_pdb(path)]
+    else:
+        raise SystemExit(f"unsupported input type: {path}")
+    if not hydrogens:
+        mols = [m.without_hydrogens() for m in mols]
+    return mols
+
+
+def _cmd_voxelize(args) -> int:
+    from .core.config import GridSpec
+    from .data import AtomTypeGetter, BondTypeGetter, MolPointCloudMaker
+    from .data.pipeline import types_to_onehot
+    from .parallel import StreamingVoxelizer
+    from .viz.dx import write_channels_dx
+
+    path = Path(args.input)
+    mols = _load_molecules(path, args.hydrogens)
+    if not mols:
+        raise SystemExit("no molecules parsed")
+    print(f"{len(mols)} molecule(s) from {path}", file=sys.stderr)
+
+    symbols = [s.strip() for s in args.channels.split(",")]
+    atom_getter = AtomTypeGetter(symbols, unknown=args.unknown)
+    bond_getter = BondTypeGetter.default() if args.bonds else None
+    maker = MolPointCloudMaker(atom_getter, bond_getter, channel_type="features")
+    num_channels = maker.num_channels
+
+    def clouds():
+        for mol in mols:
+            coords, feats = maker.run(mol)
+            center = coords.mean(0) if args.center == "auto" else np.zeros(3)
+            yield (coords - center).astype(np.float32), feats.astype(np.float32)
+
+    spec = GridSpec(resolution=args.resolution, dimension=args.dimension)
+    results = []
+    sv = StreamingVoxelizer(
+        spec,
+        batch_size=args.batch,
+        density_type=args.density,
+        sigma=args.sigma,
+        radii=args.radii,
+        random_translation=args.random_translation,
+        random_rotation=args.random_rotation,
+        seed=args.seed,
+    )
+    t0 = time.time()
+    stats = sv.run(clouds(), lambda images, batch: results.append(np.asarray(images)))
+    grids = np.concatenate(results, axis=0)[: len(mols)]
+    print(
+        f"voxelized {stats.molecules} molecules in {time.time() - t0:.2f}s "
+        f"-> grids {grids.shape}",
+        file=sys.stderr,
+    )
+
+    if args.output:
+        np.savez_compressed(
+            args.output,
+            grids=grids,
+            channels=np.asarray(maker.channels),
+            resolution=np.float32(args.resolution),
+            dimension=np.int32(args.dimension),
+        )
+        print(f"wrote {args.output}", file=sys.stderr)
+    if args.dx:
+        channel_dict = {name: grids[0, i] for i, name in enumerate(maker.channels)}
+        paths = write_channels_dx(args.dx, channel_dict, [0, 0, 0], args.resolution)
+        print(f"wrote {len(paths)} .dx volumes to {args.dx}", file=sys.stderr)
+    if not args.output and not args.dx:
+        print(json.dumps({"molecules": int(stats.molecules), "shape": list(grids.shape)}))
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(str(Path(__file__).parent.parent / "bench.py"), run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="molvoxel-tpu", description="TPU-native molecular voxelization")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info", help="environment / backend report")
+
+    pv = sub.add_parser("voxelize", help="voxelize molecules from SDF/PDB")
+    pv.add_argument("input", help="input .sdf (multi-record ok) or .pdb")
+    pv.add_argument("-o", "--output", help="output .npz (grids, channel names)")
+    pv.add_argument("--dx", help="directory for per-channel OpenDX volumes (first molecule)")
+    pv.add_argument("--dimension", type=int, default=64)
+    pv.add_argument("--resolution", type=float, default=0.5)
+    pv.add_argument("--density", default="gaussian", choices=["gaussian", "binary", "gaussian_notrunc"])
+    pv.add_argument("--sigma", type=float, default=0.5)
+    pv.add_argument("--radii", type=float, default=1.0)
+    pv.add_argument("--channels", default="C,N,O,S", help="comma-separated element channels")
+    pv.add_argument("--unknown", action="store_true", help="add a catch-all Unknown channel")
+    pv.add_argument("--bonds", action="store_true", help="add bond-midpoint channels")
+    pv.add_argument("--hydrogens", action="store_true", help="keep hydrogens")
+    pv.add_argument("--center", default="auto", choices=["auto", "origin"])
+    pv.add_argument("--batch", type=int, default=64)
+    pv.add_argument("--random-translation", type=float, default=0.0)
+    pv.add_argument("--random-rotation", action="store_true")
+    pv.add_argument("--seed", type=int, default=0)
+
+    sub.add_parser("bench", help="run the headline benchmark")
+
+    args = parser.parse_args(argv)
+    if args.command == "info":
+        return _cmd_info(args)
+    if args.command == "voxelize":
+        return _cmd_voxelize(args)
+    if args.command == "bench":
+        return _cmd_bench(args)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
