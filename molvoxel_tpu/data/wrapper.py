@@ -38,6 +38,7 @@ class MolWrapper:
         random_translation: float = 0.0,
         random_rotation: bool = False,
         out_grid=None,
+        key=None,
         **kwargs,
     ):
         coords, channels = self.maker.run(mol, **kwargs)
@@ -49,7 +50,8 @@ class MolWrapper:
         center = voxelizer.asarray(center, "center") if center is not None else None
         channels = voxelizer.asarray(channels, self.channel_type)
         radii = radii if np.isscalar(radii) else voxelizer.asarray(radii, "radii")
-        return voxelizer.forward(coords, center, channels, radii, random_translation, random_rotation, out_grid)
+        return voxelizer.forward(coords, center, channels, radii, random_translation, random_rotation, out_grid,
+                                 key=key)
 
     __call__ = run
 
@@ -70,7 +72,7 @@ class MolWrapper:
         channel_dict = self.split_channel(image)
         if center is None:
             center = self.voxelizer.asarray([0, 0, 0], "center")
-        self.visualizer.visualize_mol(pse_path, mol, channel_dict, center, self.resolution, new_coords)
+        return self.visualizer.visualize_mol(pse_path, mol, channel_dict, center, self.resolution, new_coords)
 
 
 class MolSystemWrapper(MolWrapper):
@@ -92,6 +94,7 @@ class MolSystemWrapper(MolWrapper):
         random_translation: float = 0.0,
         random_rotation: bool = False,
         out_grid=None,
+        key=None,
         **kwargs,
     ):
         coords, channels = self.maker.run(mol_list, **kwargs)
@@ -117,7 +120,8 @@ class MolSystemWrapper(MolWrapper):
         center = voxelizer.asarray(center, "center") if center is not None else None
         channels = voxelizer.asarray(channels, self.maker.channel_type)
         radii = radii if np.isscalar(radii) else voxelizer.asarray(radii, "radii")
-        return voxelizer.forward(coords, center, channels, radii, random_translation, random_rotation, out_grid)
+        return voxelizer.forward(coords, center, channels, radii, random_translation, random_rotation, out_grid,
+                                 key=key)
 
     __call__ = run
 
@@ -136,7 +140,7 @@ class MolSystemWrapper(MolWrapper):
                 offset += n
         else:
             new_coords_list = None
-        self.visualizer.visualize_system(
+        return self.visualizer.visualize_system(
             pse_path, mol_list, self.name_list, channel_dict_list, center, self.resolution, new_coords_list
         )
 
@@ -160,10 +164,12 @@ class ComplexWrapper(MolSystemWrapper):
         random_translation: float = 0.0,
         random_rotation: bool = False,
         out_grid=None,
+        key=None,
         **kwargs,
     ):
         return super().run(
-            [ligand_mol, protein_mol], center, radii, random_translation, random_rotation, out_grid, **kwargs
+            [ligand_mol, protein_mol], center, radii, random_translation, random_rotation, out_grid,
+            key=key, **kwargs
         )
 
     __call__ = run
@@ -184,7 +190,7 @@ class ComplexWrapper(MolSystemWrapper):
             ligand_new_coords, protein_new_coords = new_coords[:n], new_coords[n:]
         else:
             ligand_new_coords = protein_new_coords = None
-        self.visualizer.visualize_complex(
+        return self.visualizer.visualize_complex(
             pse_path,
             ligand_mol,
             protein_mol,
