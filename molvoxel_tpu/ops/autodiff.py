@@ -1,0 +1,80 @@
+"""Differentiable voxelization.
+
+The reference is a pure data-preprocessing library — its grids are
+non-differentiable numpy/numba buffers, and its torch path runs under
+``@torch.no_grad()`` (/root/reference/molvoxel/voxelizer/torch/voxelizer.py:115).
+Here the voxel image is differentiable with respect to atom coordinates,
+channel weights, and radii, so the voxelizer can sit *inside* an end-to-end
+learned pipeline (conformer refinement, docking scores, implicit generative
+models over density grids).
+
+- The dense XLA path (ops/dense.py) and the separable path (ops/separable.py)
+  are pure jnp and differentiate natively; the radius cutoff contributes the
+  standard almost-everywhere gradient (the boundary delta is measure-zero and
+  dropped, exactly what ``jnp.where`` autodiff gives).
+- The Pallas kernels are forward-only; this module wraps them in a
+  ``jax.custom_vjp`` whose backward pass replays the dense implementation's
+  VJP.  Forward speed stays at kernel speed; the backward costs one dense
+  evaluation's worth of work (the contraction structure of the gradient is
+  the same deposit with weights and cotangents swapped).
+- binary density: gradient w.r.t. weights is exact; w.r.t. coordinates/radii
+  it is zero almost everywhere (an indicator function), matching autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GridSpec
+from .dense import voxelize_dense, voxelize_dense_channelwise
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def voxelize_pallas_ad(
+    coords: jnp.ndarray,
+    weights: jnp.ndarray,
+    radii: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    d_offset,
+    spec: GridSpec,
+    density_type: str,
+    sigma: float,
+    channelwise: bool,
+    d_count: int | None,
+) -> jnp.ndarray:
+    """Pallas forward with a dense-path backward (differentiable deposit)."""
+    from .pallas_deposit import voxelize_pallas, voxelize_pallas_channelwise
+
+    fn = voxelize_pallas_channelwise if channelwise else voxelize_pallas
+    return fn(
+        coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask,
+        d_offset=d_offset, d_count=d_count,
+    )
+
+
+def _fwd(coords, weights, radii, mask, d_offset, spec, density_type, sigma, channelwise, d_count):
+    out = voxelize_pallas_ad(
+        coords, weights, radii, mask, d_offset, spec, density_type, sigma, channelwise, d_count
+    )
+    return out, (coords, weights, radii, mask, d_offset)
+
+
+def _bwd(spec, density_type, sigma, channelwise, d_count, residuals, g):
+    coords, weights, radii, mask, d_offset = residuals
+    dense = voxelize_dense_channelwise if channelwise else voxelize_dense
+
+    def f(c, w, r):
+        return dense(
+            c, w, r, spec=spec, density_type=density_type, sigma=sigma, mask=mask,
+            d_offset=d_offset, d_count=d_count,
+        )
+
+    _, vjp = jax.vjp(f, coords, weights, radii)
+    dc, dw, dr = vjp(g)
+    return dc, dw, dr, None, None
+
+
+voxelize_pallas_ad.defvjp(_fwd, _bwd)

@@ -70,11 +70,13 @@ def voxelize(
         )
     kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
     if impl == "pallas":
-        from .pallas_deposit import voxelize_pallas, voxelize_pallas_channelwise
+        # custom_vjp wrapper: pallas forward, dense-path backward, so the
+        # deposit is differentiable on every implementation (ops/autodiff.py)
+        from .autodiff import voxelize_pallas_ad
 
-        if channelwise_radii:
-            return voxelize_pallas_channelwise(coords, weights, radii, **kw)
-        return voxelize_pallas(coords, weights, radii, **kw)
+        return voxelize_pallas_ad(
+            coords, weights, radii, mask, d_offset, spec, density_type, sigma, channelwise_radii, d_count
+        )
     elif impl == "dense":
         if channelwise_radii:
             return voxelize_dense_channelwise(coords, weights, radii, **kw)
