@@ -35,6 +35,9 @@ BASELINE_MOLS_PER_S = 100_000.0
 
 
 def main():
+    from molvoxel_tpu.utils.timing import enable_compilation_cache
+
+    enable_compilation_cache(".jax_cache")
     import jax
     import jax.numpy as jnp
 
