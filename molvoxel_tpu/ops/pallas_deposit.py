@@ -113,7 +113,64 @@ def _tiles(vp: int, cp: int, dl: int, hwp: int, streams: int):
     return ct, a, hwt
 
 
+def _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset):
+    """Reorder atoms by (x-slab, y, z) cell so 128-lane chunks are spatially
+    local.
+
+    Deposition is permutation-invariant, but the skip flags test whole
+    atom chunks: with arbitrary atom order a chunk of a protein spans the
+    entire box and every (chunk, tile, plane) is flagged active.  Lexicographic
+    cell sort makes chunks ~slab-local, so flags prune the vast majority of
+    the V x N work (the useful pairs are ~0.1% for protein-scale inputs).
+    Padded atoms sort to the end (key = +inf-ish).
+    """
+    b, vp, _ = coords.shape
+    bits = 5
+    cells = (1 << bits) - 1
+    lb = jnp.asarray(spec.lower_bound, jnp.float32)
+    scale = cells / jnp.asarray(max(spec.width, 1e-6), jnp.float32)
+    cell = jnp.clip(((coords - lb) * scale), 0, cells).astype(jnp.int32)  # (B, Vp, 3)
+    key = (cell[..., 0] << (2 * bits)) | (cell[..., 1] << bits) | cell[..., 2]
+    if mask is not None:
+        key = jnp.where(mask, key, jnp.int32(1 << 30))
+    order = jnp.argsort(key, axis=1)  # (B, Vp)
+    take = lambda arr: jnp.take_along_axis(arr, order[..., None], axis=1) if arr.ndim == 3 else jnp.take_along_axis(arr, order, axis=1)
+    coords = take(coords)
+    weights = take(weights)
+    if radii.ndim == 2:
+        radii = take(radii)
+    if mask is not None:
+        mask = take(mask)
+    return coords, weights, radii, mask
+
+
 # ------------------------------------------------------------------- prepare
+
+
+def _prepare_axes(coords, weights, mask, spec, d_offset, d_count):
+    """Per-axis precompute: dx2 (B, Dl, Vp), dy2_t (B, H, Vp), dz2_t (B, W, Vp),
+    wt (B, Cp, Vp) — O(V*(D+H+W)) arrays only."""
+    b, vp, c = weights.shape
+    dim = spec.dimension
+    dl = dim if d_count is None else d_count
+    hw = dim * dim
+    hwp = round_up(hw, 128)
+    cp = round_up(max(c, 1), 8)
+    dtype = jnp.float32
+
+    ax = _axis_positions(spec, dtype)
+    axd = _axis_positions(spec, dtype, d_offset, d_count) if d_count is not None else ax
+
+    dx = axd[None, :, None] - coords[:, None, :, 0]
+    dy = ax[None, :, None] - coords[:, None, :, 1]
+    dz = ax[None, :, None] - coords[:, None, :, 2]
+
+    wt = jnp.swapaxes(weights, 1, 2).astype(dtype)  # (B, C, Vp)
+    if mask is not None:
+        wt = jnp.where(mask[:, None, :], wt, 0.0)
+    if cp != c:
+        wt = jnp.pad(wt, ((0, 0), (0, cp - c), (0, 0)))
+    return dx * dx, dy * dy, dz * dz, wt, (b, vp, c, cp, dim, dl, hw, hwp)
 
 
 def _prepare_common(coords, weights, mask, spec, d_offset, d_count):
@@ -186,79 +243,24 @@ def _skip_flags(dyz2_t, thresh, hwt, a):
 # ------------------------------------------------------------------- kernels
 
 
-def _kernel_gaussian(flag_ref, thresh_ref, ex_ref, dyz2_ref, eyz_ref, wt_ref, o_ref, *, ct: int, hwt: int,
-                     nhwt: int, nvc: int):
+def _kernel_gaussian(flag_ref, thresh_ref, ex_ref, dyz2_ref, eyz_ref, wt_ref, o_ref, *,
+                     dl: int, a: int, ct: int, hwt: int):
+    """Streamed-chunk kernel with the depth loop in-kernel.
+
+    Grid = (batch, channel-tile, hw-tile, atom-chunk); all Dl depth planes of
+    one (chunk, tile) pair run inside a fori_loop against resident blocks, so
+    per-grid-step pipeline overhead is amortized over the whole depth axis
+    (measured: this overhead, ~0.2us/step, dominated the V x N compute at
+    ligand and protein scale alike).  Skip flags gate each plane: an inactive
+    plane costs one SMEM read and, on the first chunk, a zero-fill."""
     vc = pl.program_id(3)
-    d = pl.program_id(4)
-    lin = (pl.program_id(0) * nhwt + pl.program_id(2)) * nvc + vc
-    active = flag_ref[lin % 8, d] > 0
-
-    @pl.when(active)
-    def _():
-        wts = wt_ref[0] * ex_ref[0]  # (Ct, A) * (1, A): plane factor folded into weights
-        dens = jnp.where(dyz2_ref[0] <= thresh_ref[0], eyz_ref[0], 0.0)  # (HWt, A)
-        acc = jax.lax.dot_general(
-            wts, dens, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (Ct, HWt)
-
-        @pl.when(vc == 0)
-        def _():
-            o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
-
-        @pl.when(vc > 0)
-        def _():
-            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
-
-    # a skipped first atom-chunk must still zero-initialize its output row
-    @pl.when(jnp.logical_and(vc == 0, jnp.logical_not(active)))
-    def _():
-        o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
-
-
-def _kernel_binary(flag_ref, thresh_ref, dyz2_ref, wt_ref, o_ref, *, ct: int, hwt: int,
-                   nhwt: int, nvc: int):
-    vc = pl.program_id(3)
-    d = pl.program_id(4)
-    lin = (pl.program_id(0) * nhwt + pl.program_id(2)) * nvc + vc
-    active = flag_ref[lin % 8, d] > 0
-
-    @pl.when(active)
-    def _():
-        dens = jnp.where(dyz2_ref[0] <= thresh_ref[0], 1.0, 0.0)  # (HWt, A)
-        acc = jax.lax.dot_general(
-            wt_ref[0], dens, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-        @pl.when(vc == 0)
-        def _():
-            o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
-
-        @pl.when(vc > 0)
-        def _():
-            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
-
-    @pl.when(jnp.logical_and(vc == 0, jnp.logical_not(active)))
-    def _():
-        o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
-
-
-def _kernel_gaussian_resident(flag_ref, thresh_ref, ex_ref, dyz2_ref, eyz_ref, wt_ref, o_ref, *,
-                              dl: int, a: int, ct: int, hwt: int, nhwt: int):
-    """Single-atom-chunk regime: all operands resident, depth loop in-kernel.
-
-    With V <= one chunk the (vc, d) grid collapses to a fori_loop over depth
-    planes — 64x fewer grid steps, so the per-step pipeline overhead stops
-    dominating the (small) per-plane compute.  Inactive planes (skip flag 0)
-    cost one branch and a zero-fill."""
-    lin = pl.program_id(0) * nhwt + pl.program_id(2)
     dyz2 = dyz2_ref[0]  # (HWt, A)
     eyz = eyz_ref[0]
     wt = wt_ref[0]  # (Ct, A)
+    first = vc == 0
 
     def body(d, carry):
-        active = flag_ref[lin % 8, d] > 0
+        active = flag_ref[0, 0, d] > 0
 
         @pl.when(active)
         def _():
@@ -272,9 +274,16 @@ def _kernel_gaussian_resident(flag_ref, thresh_ref, ex_ref, dyz2_ref, eyz_ref, w
                 wt * exr, dens, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
             )
-            o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
 
-        @pl.when(jnp.logical_not(active))
+            @pl.when(first)
+            def _():
+                o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+
+        @pl.when(jnp.logical_and(first, jnp.logical_not(active)))
         def _():
             o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
 
@@ -283,14 +292,14 @@ def _kernel_gaussian_resident(flag_ref, thresh_ref, ex_ref, dyz2_ref, eyz_ref, w
     jax.lax.fori_loop(0, dl, body, 0)
 
 
-def _kernel_binary_resident(flag_ref, thresh_ref, dyz2_ref, wt_ref, o_ref, *,
-                            dl: int, a: int, ct: int, hwt: int, nhwt: int):
-    lin = pl.program_id(0) * nhwt + pl.program_id(2)
+def _kernel_binary(flag_ref, thresh_ref, dyz2_ref, wt_ref, o_ref, *, dl: int, a: int, ct: int, hwt: int):
+    vc = pl.program_id(3)
     dyz2 = dyz2_ref[0]
     wt = wt_ref[0]
+    first = vc == 0
 
     def body(d, carry):
-        active = flag_ref[lin % 8, d] > 0
+        active = flag_ref[0, 0, d] > 0
 
         @pl.when(active)
         def _():
@@ -301,9 +310,16 @@ def _kernel_binary_resident(flag_ref, thresh_ref, dyz2_ref, wt_ref, o_ref, *,
                 wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
             )
-            o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
 
-        @pl.when(jnp.logical_not(active))
+            @pl.when(first)
+            def _():
+                o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+
+        @pl.when(jnp.logical_and(first, jnp.logical_not(active)))
         def _():
             o_ref[0, :, pl.ds(d, 1), :] = jnp.zeros((ct, 1, hwt), jnp.float32)
 
@@ -340,7 +356,152 @@ def _kernel_channelwise(dx2_ref, dyz2_ref, wt_ref, r2c_ref, coefc_ref, o_ref, *,
         o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
 
 
+def _row_tile(hw: int, w: int, target: int = 1024) -> int | None:
+    """Whole-row hw tile: multiple of both W and 128, divides hw, <= ~target.
+
+    Enables in-kernel dyz2 reconstruction (kernel v4): a tile spanning whole
+    h-rows factorizes as dy2-rows + dz2, so the O(V*HW) distance matrix never
+    exists — not in HBM, not even as a kernel input stream.
+    """
+    if hw % 128 != 0:
+        return None
+    import math as _math
+
+    step = w * 128 // _math.gcd(w, 128)
+    best = None
+    t = step
+    while t <= hw:
+        if hw % t == 0 and (t <= target or best is None):
+            best = t
+        if t > target and best is not None:
+            break
+        t += step
+    return best
+
+
+def _kernel_gaussian_v4(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, dz2_ref, wt_ref, o_ref, *,
+                        dl: int, a: int, ct: int, hwt: int, hrows: int):
+    """v4: dyz2/eyz rebuilt in-kernel from per-axis factors; depth loop runs
+    only the precomputed active plane range.
+
+    HBM traffic per (tile, chunk) drops from O(HWt*A) streamed matrices to
+    O((hrows + W + Dl) * A) vectors; the exp runs once per tile on the VPU
+    (it is plane-independent).  The set of planes an atom chunk reaches is a
+    contiguous interval in d (thresh is a downward parabola), so instead of
+    per-plane flags the kernel loops [d_lo, d_hi) and skips everything —
+    including the dyz2/eyz construction — when the interval is empty."""
+    vc = pl.program_id(3)
+
+    @pl.when(vc == 0)
+    def _():
+        o_ref[0] = jnp.zeros((ct, dl, hwt), jnp.float32)
+
+    d_lo = range_ref[0, 0, 0]
+    d_hi = range_ref[0, 0, 1]
+
+    @pl.when(d_hi > d_lo)
+    def _():
+        dy2 = dy2_ref[0]  # (hrows, A)
+        dz2 = dz2_ref[0]  # (W, A)
+        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
+        eyz = jnp.exp(dyz2 * coef_ref[0])  # (HWt, A) * (1, A)
+        wt = wt_ref[0]
+
+        def body(d, carry):
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            exr = ex_ref[0, 0:1, pl.ds(off, a)]
+            dens = jnp.where(dyz2 <= th, eyz, 0.0)
+            acc = jax.lax.dot_general(
+                wt * exr, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+            return carry
+
+        jax.lax.fori_loop(d_lo, d_hi, body, 0)
+
+
+def _kernel_binary_v4(range_ref, thresh_ref, dy2_ref, dz2_ref, wt_ref, o_ref, *,
+                      dl: int, a: int, ct: int, hwt: int, hrows: int):
+    vc = pl.program_id(3)
+
+    @pl.when(vc == 0)
+    def _():
+        o_ref[0] = jnp.zeros((ct, dl, hwt), jnp.float32)
+
+    d_lo = range_ref[0, 0, 0]
+    d_hi = range_ref[0, 0, 1]
+
+    @pl.when(d_hi > d_lo)
+    def _():
+        dy2 = dy2_ref[0]
+        dz2 = dz2_ref[0]
+        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
+        wt = wt_ref[0]
+
+        def body(d, carry):
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            dens = jnp.where(dyz2 <= th, 1.0, 0.0)
+            acc = jax.lax.dot_general(
+                wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+            return carry
+
+        jax.lax.fori_loop(d_lo, d_hi, body, 0)
+
+
+def _plane_ranges_axes(dy2_t, dz2_t, thresh, hwt, a):
+    """(B*nhwt*nvc, 1, 2) int32 [d_lo, d_hi) active plane ranges per (tile, chunk).
+
+    Tile minimum of dyz2 factorizes exactly for whole-row tiles
+    (min_h dy2 + min_w dz2); an atom chunk's reach along d is the union of
+    per-atom intervals, covered conservatively by [first, last+1) of the
+    any-atom activity mask."""
+    b, h, vp = dy2_t.shape
+    dl = thresh.shape[1]
+    hw_rows = hwt // dz2_t.shape[1]
+    nhwt = h // hw_rows
+    nvc = vp // a
+    minh = dy2_t.reshape(b, nhwt, hw_rows, vp).min(axis=2)  # (B, nhwt, Vp)
+    minz = dz2_t.min(axis=1)  # (B, Vp)
+    min_tile = minh + minz[:, None, :]
+    reach = min_tile[:, :, None, :] <= thresh[:, None, :, :]  # (B, nhwt, Dl, Vp)
+    act = jnp.swapaxes(reach.reshape(b, nhwt, dl, nvc, a).any(axis=4), 2, 3)  # (B, nhwt, nvc, Dl)
+    any_act = act.any(axis=-1)
+    lo = jnp.argmax(act, axis=-1).astype(jnp.int32)
+    hi = (dl - jnp.argmax(act[..., ::-1], axis=-1)).astype(jnp.int32)
+    lo = jnp.where(any_act, lo, 0)
+    hi = jnp.where(any_act, hi, 0)
+    return jnp.stack([lo, hi], axis=-1).reshape(b * nhwt * nvc, 1, 2)
+
+
 # ------------------------------------------------------------------ wrappers
+
+
+def _chunk_rows(x, a):
+    """(B, Dl, Vp) -> (B*nvc, 1, Dl*A): per-atom-chunk all-planes rows.
+
+    Row b*nvc+vc holds [d*A + j] = x[b, d, vc*A + j] — contiguous per chunk so
+    the kernel's per-plane (1, A) slice is a 128-aligned lane window."""
+    b, dl, vp = x.shape
+    nvc = vp // a
+    return x.reshape(b, dl, nvc, a).transpose(0, 2, 1, 3).reshape(b * nvc, 1, dl * a)
+
+
+def _skip_flags3(dyz2_t, thresh, hwt, a):
+    """(B*nhwt*nvc, 1, Dl) int32 plane-activity flags (see _skip_flags doc)."""
+    b, hwp, vp = dyz2_t.shape
+    dl = thresh.shape[1]
+    nhwt = hwp // hwt
+    nvc = vp // a
+    min_tile = dyz2_t.reshape(b, nhwt, hwt, vp).min(axis=2)  # (B, nhwt, Vp)
+    reach = min_tile[:, :, None, :] <= thresh[:, None, :, :]  # (B, nhwt, Dl, Vp)
+    flags = reach.reshape(b, nhwt, dl, nvc, a).any(axis=4)  # (B, nhwt, Dl, nvc)
+    return jnp.swapaxes(flags, 2, 3).reshape(b * nhwt * nvc, 1, dl).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
@@ -358,13 +519,20 @@ def voxelize_pallas_batch(
 ) -> jnp.ndarray:
     """Batched fused deposit -> (B, C, Dl, H, W).  Per-atom radii."""
     gaussian = density_type == "gaussian"
-    dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
-        coords, weights, mask, spec, d_offset, d_count
-    )
-
+    b, vp, c = weights.shape
     radii = jnp.asarray(radii, jnp.float32)
     if radii.ndim == 1:
         radii = jnp.broadcast_to(radii[None, :], (b, vp))
+    if vp > 128:
+        coords, weights, radii, mask = _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset)
+    dim = spec.dimension
+    hwt_rows = _row_tile(dim * dim, dim)
+    if hwt_rows is not None:
+        return _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt_rows)
+    # fallback for grids whose H*W is not 128-aligned: streamed dyz2/eyz tiles
+    dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
+        coords, weights, mask, spec, d_offset, d_count
+    )
     r2 = radii * radii  # (B, Vp)
     if mask is not None:
         r2 = jnp.where(mask, r2, 1.0)
@@ -373,22 +541,18 @@ def voxelize_pallas_batch(
     streams = 2 if gaussian else 1
     ct, a, hwt = _tiles(vp, cp, dl, hwp, streams)
     nvc = vp // a
-    grid = (b, cp // ct, hwp // hwt, nvc, dl)
-
     nhwt = hwp // hwt
-    if nvc == 1:
-        return _run_resident(
-            dyz2_t, thresh, wt, r2, gaussian, sigma, b, vp, c, cp, dim, dl, hw, hwp, ct, a, hwt, mask
-        )
-    flags = _skip_flags(dyz2_t, thresh, hwt, a)  # (R8, Dl)
-    thresh_rows = _rows(thresh)  # (B, 1, Dl*Vp)
+    grid = (b, cp // ct, nhwt, nvc)
+
+    flags = _skip_flags3(dyz2_t, thresh, hwt, a)  # (B*nhwt*nvc, 1, Dl)
+    thresh_rows = _chunk_rows(thresh, a)  # (B*nvc, 1, Dl*A)
     flag_spec = pl.BlockSpec(
-        (8, dl), lambda bb, cb, ht, vc, d: (((bb * nhwt + ht) * nvc + vc) // 8, 0), memory_space=pltpu.SMEM
+        (1, 1, dl), lambda bb, cb, ht, vc: ((bb * nhwt + ht) * nvc + vc, 0, 0), memory_space=pltpu.SMEM
     )
-    row_spec = pl.BlockSpec((1, 1, a), lambda bb, cb, ht, vc, d: (bb, 0, d * nvc + vc), memory_space=pltpu.VMEM)
-    tile_spec = pl.BlockSpec((1, hwt, a), lambda bb, cb, ht, vc, d: (bb, ht, vc), memory_space=pltpu.VMEM)
-    wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht, vc, d: (bb, cb, vc), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht, vc, d: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, dl * a), lambda bb, cb, ht, vc: (bb * nvc + vc, 0, 0), memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, hwt, a), lambda bb, cb, ht, vc: (bb, ht, vc), memory_space=pltpu.VMEM)
+    wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht, vc: (bb, cb, vc), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht, vc: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * b * cp * vp * dl * hwp + 2 * b * vp * dl * hwp,
         bytes_accessed=b * (cp // ct) * vp * hwp * 4 * streams + b * cp * dl * hwp * 4,
@@ -397,20 +561,19 @@ def voxelize_pallas_batch(
 
     if gaussian:
         coef = -(0.5 / (sigma * sigma)) / r2  # (B, Vp)
-        ex_rows = _rows(jnp.exp(dx2 * coef[:, None, :]))  # (B, 1, Dl*Vp)
-        eyz_t = jnp.exp(dyz2_t * coef[:, None, :])  # (B, HWp, Vp)
+        ex_rows = _chunk_rows(jnp.exp(dx2 * coef[:, None, :]), a)  # (B*nvc, 1, Dl*A)
         out = pl.pallas_call(
-            functools.partial(_kernel_gaussian, ct=ct, hwt=hwt, nhwt=nhwt, nvc=nvc),
+            functools.partial(_kernel_gaussian, dl=dl, a=a, ct=ct, hwt=hwt),
             grid=grid,
             in_specs=[flag_spec, row_spec, row_spec, tile_spec, tile_spec, wt_spec],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
             cost_estimate=cost,
             interpret=_interpret(),
-        )(flags, thresh_rows, ex_rows, dyz2_t, eyz_t, wt)
+        )(flags, thresh_rows, ex_rows, dyz2_t, jnp.exp(dyz2_t * coef[:, None, :]), wt)
     else:
         out = pl.pallas_call(
-            functools.partial(_kernel_binary, ct=ct, hwt=hwt, nhwt=nhwt, nvc=nvc),
+            functools.partial(_kernel_binary, dl=dl, a=a, ct=ct, hwt=hwt),
             grid=grid,
             in_specs=[flag_spec, row_spec, tile_spec, wt_spec],
             out_specs=out_spec,
@@ -421,49 +584,72 @@ def voxelize_pallas_batch(
     return out[:, :c, :, :hw].reshape(b, c, dl, dim, dim)
 
 
-def _run_resident(dyz2_t, thresh, wt, r2, gaussian, sigma, b, vp, c, cp, dim, dl, hw, hwp, ct, a, hwt, mask):
-    """nvc == 1 launch: resident operands, in-kernel depth loop."""
-    # measured on-chip: 1024-lane tiles beat 2048 (finer skip-flag granularity
-    # outweighs the extra grid steps)
-    nhwt = hwp // hwt
-    flags = _skip_flags(dyz2_t, thresh, hwt, a)  # (R8, Dl) with nvc == 1
-    thresh_rows = _rows(thresh)  # (B, 1, Dl*Vp) == (B, 1, Dl*A)
-    grid = (b, cp // ct, nhwt)
-    flag_spec = pl.BlockSpec((8, dl), lambda bb, cb, ht: ((bb * nhwt + ht) // 8, 0), memory_space=pltpu.SMEM)
-    row_spec = pl.BlockSpec((1, 1, dl * a), lambda bb, cb, ht: (bb, 0, 0), memory_space=pltpu.VMEM)
-    tile_spec = pl.BlockSpec((1, hwt, a), lambda bb, cb, ht: (bb, ht, 0), memory_space=pltpu.VMEM)
-    wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht: (bb, cb, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
-    cost = pl.CostEstimate(
-        flops=2 * b * cp * vp * dl * hwp + 2 * b * vp * dl * hwp,
-        bytes_accessed=b * (cp // ct) * vp * hwp * 4 * (2 if gaussian else 1) + b * cp * dl * hwp * 4,
-        transcendentals=b * vp * hwp if gaussian else 0,
+def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt):
+    """v4 launch: per-axis inputs only, dyz2/eyz rebuilt in-kernel."""
+    dx2, dy2_t, dz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_axes(
+        coords, weights, mask, spec, d_offset, d_count
     )
+    r2 = radii * radii
+    if mask is not None:
+        r2 = jnp.where(mask, r2, 1.0)
+    thresh = r2[:, None, :] - dx2  # (B, Dl, Vp)
+
+    ct = _channel_tile(cp, dl, hwt)
+    # per-step VMEM working set: dyz2 + eyz + dens tiles of (hwt, a)
+    a = _atom_chunk(vp, hwt, ct * dl * hwt * 4, streams=1)
+    nvc = vp // a
+    nhwt = hw // hwt
+    hrows = hwt // dim
+    grid = (b, cp // ct, nhwt, nvc)
+
+    ranges = _plane_ranges_axes(dy2_t, dz2_t, thresh, hwt, a)  # (B*nhwt*nvc, 1, 2)
+    thresh_rows = _chunk_rows(thresh, a)  # (B*nvc, 1, Dl*A)
+    range_spec = pl.BlockSpec(
+        (1, 1, 2), lambda bb, cb, ht, vc: ((bb * nhwt + ht) * nvc + vc, 0, 0), memory_space=pltpu.SMEM
+    )
+    row_spec = pl.BlockSpec((1, 1, dl * a), lambda bb, cb, ht, vc: (bb * nvc + vc, 0, 0), memory_space=pltpu.VMEM)
+    dy2_spec = pl.BlockSpec((1, hrows, a), lambda bb, cb, ht, vc: (bb, ht, vc), memory_space=pltpu.VMEM)
+    dz2_spec = pl.BlockSpec((1, dim, a), lambda bb, cb, ht, vc: (bb, 0, vc), memory_space=pltpu.VMEM)
+    wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht, vc: (bb, cb, vc), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht, vc: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * b * cp * vp * dl * hw + 2 * b * vp * dl * hw,
+        bytes_accessed=b * vp * (dim * 2 + dl) * 4 + b * cp * dl * hw * 4,
+        transcendentals=b * (cp // ct) * vp * hw if gaussian else 0,
+    )
+
     if gaussian:
         coef = -(0.5 / (sigma * sigma)) / r2  # (B, Vp)
-        dx2 = r2[:, None, :] - thresh  # (B, Dl, Vp)
-        ex_rows = _rows(jnp.exp(dx2 * coef[:, None, :]))
-        eyz_t = jnp.exp(dyz2_t * coef[:, None, :])
+        ex_rows = _chunk_rows(jnp.exp(dx2 * coef[:, None, :]), a)
+        coef_chunks = coef.reshape(b, nvc, a).reshape(b * nvc, 1, a)
         out = pl.pallas_call(
-            functools.partial(_kernel_gaussian_resident, dl=dl, a=a, ct=ct, hwt=hwt, nhwt=nhwt),
+            functools.partial(_kernel_gaussian_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows),
             grid=grid,
-            in_specs=[flag_spec, row_spec, row_spec, tile_spec, tile_spec, wt_spec],
+            in_specs=[
+                range_spec,
+                row_spec,
+                row_spec,
+                pl.BlockSpec((1, 1, a), lambda bb, cb, ht, vc: (bb * nvc + vc, 0, 0), memory_space=pltpu.VMEM),
+                dy2_spec,
+                dz2_spec,
+                wt_spec,
+            ],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), jnp.float32),
             cost_estimate=cost,
             interpret=_interpret(),
-        )(flags, thresh_rows, ex_rows, dyz2_t, eyz_t, wt)
+        )(ranges, thresh_rows, ex_rows, coef_chunks, dy2_t, dz2_t, wt)
     else:
         out = pl.pallas_call(
-            functools.partial(_kernel_binary_resident, dl=dl, a=a, ct=ct, hwt=hwt, nhwt=nhwt),
+            functools.partial(_kernel_binary_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows),
             grid=grid,
-            in_specs=[flag_spec, row_spec, tile_spec, wt_spec],
+            in_specs=[range_spec, row_spec, dy2_spec, dz2_spec, wt_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), jnp.float32),
             cost_estimate=cost,
             interpret=_interpret(),
-        )(flags, thresh_rows, dyz2_t, wt)
-    return out[:, :c, :, :hw].reshape(b, c, dl, dim, dim)
+        )(ranges, thresh_rows, dy2_t, dz2_t, wt)
+    return out[:, :c, :, :].reshape(b, c, dl, dim, dim)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
