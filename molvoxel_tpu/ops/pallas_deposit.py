@@ -3,39 +3,47 @@
 The hot loop of the reference is cdist -> density -> matmul over a
 materialized voxel meshgrid, staged through HBM-sized temporaries
 (/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:531-560 and the numba
-triple loops, numba/func_features.py).  Here the whole pipeline is a single
-fused kernel built around three TPU-specific ideas:
+triple loops, numba/func_features.py).  Here the whole pipeline is one fused
+kernel built around five TPU-specific ideas (evolved through on-chip
+measurement; see CLAUDE.md for the measurement discipline this hardware
+requires):
 
-1. **Transposed tiles.**  Streamed per-atom arrays are laid out voxels-on-
-   sublanes x atoms-on-lanes ((HWt, A) tiles), so every per-atom scalar
-   (cutoff threshold, gaussian plane factor) is a (1, A) row that broadcasts
-   natively — no sublane/lane relayouts in the inner loop.
-2. **Separable gaussian factorization.**  exp(coef*(dx^2+dyz^2)) =
-   exp(coef*dx^2) * exp(coef*dyz^2).  The plane factor ex[v,d] is folded into
-   the weight matrix once per step (O(Ct*A)); the cross-plane factor
-   eyz[v,hw] is precomputed by XLA.  The radius cutoff d^2 <= r^2 becomes
-   dyz^2 <= thresh[v,d] with thresh = r^2 - dx^2 precomputed.  The per-element
-   inner loop is exactly: compare + select (2 VPU ops), then an MXU matmul
+1. **Transposed tiles.**  Per-atom data lives voxels-on-sublanes x
+   atoms-on-lanes, so every per-atom scalar (cutoff threshold, gaussian plane
+   factor) is a (1, A) row that broadcasts natively — no relayouts in the
+   inner loop.
+2. **Separable factorization.**  exp(coef*(dx^2+dy^2+dz^2)) splits into a
+   per-plane factor ex[v,d] folded into the weight matrix (O(Ct*A) per plane)
+   and a cross-plane factor eyz[v,hw]; the radius cutoff d^2 <= r^2 becomes
+   dyz^2 <= thresh[v,d] with thresh = r^2 - dx^2 precomputed.  Per-element
+   work: one compare + one select, then an MXU matmul.
+3. **Nothing O(V*HW) ever exists.**  For whole-h-row tiles, dyz2 and eyz are
+   rebuilt *inside* the kernel from dy2 (V,H) and dz2 (V,W) vectors — the
+   distance/density matrices are never materialized in HBM nor streamed.
+4. **Active plane ranges.**  The set of depth planes an atom chunk reaches is
+   a contiguous interval (thresh is a downward parabola in d); each (tile,
+   chunk) program zero-fills once and loops only its precomputed
+   [d_lo, d_hi), skipping tile construction entirely when empty.
+5. **Spatial atom sorting.**  Atoms are pre-sorted by (x-slab, y, z) cell so
+   128-lane chunks are spatially local and the ranges are tight (deposition
+   is permutation-invariant).  This is the TPU analog of the reference's
+   host-side block binning (numpy/voxelizer.py:496-527) without its
+   half-voxel boundary bug.
 
-     out[ct, d, hwt] += (wT * ex_row) @ where(dyz2_t <= thresh_row, eyz_t, 0)^T
+The depth loop lives in-kernel (grid = batch x channel-tile x hw-tile x
+atom-chunk): per-grid-step pipeline overhead (~0.2us) otherwise dominates
+this workload.  One program instance owns one output tile: race-free by
+construction, no scatter/atomics (the torch backend's scatter_add_,
+torch/voxelizer.py:378, becomes the same matmul via one-hot weights).  The
+batch axis is a native leading grid dimension (vmap-of-pallas_call
+miscompiles in this toolchain).
 
-   The exact-cutoff numpy-reference semantics are preserved bit-for-bit in
-   the comparison; exp(a)*exp(b) vs exp(a+b) differs by ~1e-7 relative, far
-   inside the 1e-5 parity budget (tests/test_parity_golden.py).
-3. **Resident output, streamed atoms.**  The (Ct, Dl, HWt) output tile stays
-   in VMEM across the whole (vc, d) sweep (constant index map); each
-   (HWt, A) atom tile is DMA'd once per channel tile.  HBM traffic is
-   O(V*HW) per molecule, never O(V*N).  One program instance owns one output
-   tile: race-free by construction, no scatter/atomics (the torch backend's
-   scatter_add_, torch/voxelizer.py:378, becomes the same matmul via one-hot
-   weights).
-
-The batch axis is a native leading grid dimension (vmap-of-pallas_call
-miscompiles in this toolchain), so (B, V, ...) batches run as one kernel.
-
-Padding: H*W is padded to a lane multiple with dyz2 = BIG (density exactly
-0); V is padded to a multiple of 128 (core.config.atom_bucket) with weights
-zeroed; C is padded to a multiple of 8 with zero weight rows.
+Padding: V pads to a multiple of 128 (core.config.atom_bucket) with weights
+zeroed; C pads to a multiple of 8 with zero weight rows; grids whose H*W is
+not a multiple of 128 fall back to a streamed-tile variant with the same
+semantics.  Exactness: the cutoff compare is bit-for-bit the numpy-reference
+semantics; exp(a)*exp(b) vs exp(a+b) differs ~1e-7 relative, far inside the
+1e-5 parity budget (tests/test_parity_golden.py).
 """
 
 from __future__ import annotations
@@ -213,31 +221,6 @@ def _rows(x):
     """(B, Dl, Vp) -> (B, 1, Dl*Vp) row layout for (1, A) lane-blocked specs."""
     b = x.shape[0]
     return x.reshape(b, 1, -1)
-
-
-def _skip_flags(dyz2_t, thresh, hwt, a):
-    """(B, nhwt, nvc, Dl) int32: does any atom of chunk vc reach tile (ht, d)?
-
-    An atom reaches a tile iff min over the tile's voxels of dyz2 is <= its
-    threshold r^2 - dx^2[d].  Tiles/planes/chunks with no reaching atom are
-    skipped entirely in the kernel — for compact molecules in a large box
-    this prunes most of the V x N work (the TPU analog of the reference's
-    host-side block binning, numpy/voxelizer.py:496-527, minus its boundary
-    bug).
-    """
-    b, hwp, vp = dyz2_t.shape
-    dl = thresh.shape[1]
-    nhwt = hwp // hwt
-    nvc = vp // a
-    min_tile = dyz2_t.reshape(b, nhwt, hwt, vp).min(axis=2)  # (B, nhwt, Vp)
-    reach = min_tile[:, :, None, :] <= thresh[:, None, :, :]  # (B, nhwt, Dl, Vp)
-    flags = reach.reshape(b, nhwt, dl, nvc, a).any(axis=4)  # (B, nhwt, Dl, nvc)
-    flags = jnp.swapaxes(flags, 2, 3).reshape(b * nhwt * nvc, dl).astype(jnp.int32)
-    rows = flags.shape[0]
-    pad = (-rows) % 8
-    if pad:
-        flags = jnp.pad(flags, ((0, pad), (0, 0)), constant_values=1)
-    return flags  # (R8, Dl): row (b*nhwt + ht)*nvc + vc, padded to 8-row tiles
 
 
 # ------------------------------------------------------------------- kernels
