@@ -372,6 +372,79 @@ class Voxelizer:
                            channelwise=False)
         return _finalize(result, out_grid)
 
+    # ------------------------------------------------------------------- batch
+
+    def forward_batch(
+        self,
+        clouds,
+        radii=1.0,
+        centers=None,
+        random_translation: float = 0.0,
+        random_rotation: bool = False,
+        key=None,
+    ):
+        """Voxelize many molecules in one device launch.
+
+        ``clouds``: list of (coords (V_i, 3), channels) pairs, where channels
+        is a (V_i, C) feature matrix or a (V_i,) int type vector (all items
+        must agree).  Ragged sizes are padded into one bucket.  Returns a
+        numpy (B, C, D, H, W) array.  This is the throughput API the
+        reference lacks (its batching is a Python loop,
+        /root/reference/test/test_time_numpy.py:11-15).
+        """
+        from ..data.pipeline import pad_point_clouds, types_to_onehot
+        from ..ops.batch import voxelize_batch
+
+        assert len(clouds) > 0
+        first_channels = np.asarray(clouds[0][1])
+        if first_channels.ndim == 1:  # types -> one-hot
+            num_c = max(int(np.asarray(ch).max()) + 1 for _, ch in clouds)
+            clouds = [
+                (np.asarray(crd, self.fp), types_to_onehot(np.asarray(ch), num_c)) for crd, ch in clouds
+            ]
+        else:
+            clouds = [(np.asarray(crd, self.fp), np.asarray(ch, self.fp)) for crd, ch in clouds]
+
+        batch = pad_point_clouds(clouds, centers=centers)
+        b, vp = batch.batch_size, batch.padded_atoms
+
+        channelwise = self.is_radii_type_channel_wise
+        if channelwise:
+            radii_arr = jnp.asarray(np.asarray(radii, self.fp))
+            radii_batched = False
+        elif np.isscalar(radii):
+            radii_arr = jnp.full((vp,), float(radii), jnp.float32)
+            radii_batched = False
+        else:
+            per = np.ones((b, vp), np.float32)
+            for i, r in enumerate(radii):
+                r = np.asarray(r, np.float32)
+                per[i, : r.shape[0]] = r
+            radii_arr = jnp.asarray(per)
+            radii_batched = True
+
+        if key is None:
+            key = self.next_key() if (random_rotation or random_translation > 0) else jax.random.PRNGKey(0)
+        keys = jax.random.split(key, b)
+        cfg = self._config
+        out = voxelize_batch(
+            jnp.asarray(batch.coords),
+            jnp.asarray(batch.weights),
+            radii_arr,
+            jnp.asarray(batch.mask),
+            None if batch.centers is None else jnp.asarray(batch.centers),
+            keys,
+            np.asarray(random_translation, np.float32),
+            spec=cfg.grid,
+            density_type=cfg.density_type,
+            sigma=cfg.sigma,
+            random_rotation=bool(random_rotation),
+            channelwise=channelwise,
+            impl=self._impl,
+            radii_batched=radii_batched,
+        )
+        return np.asarray(out)
+
     # ------------------------------------------------------------------ engine
 
     def _run(

@@ -236,3 +236,54 @@ class TestGridUtils:
         assert vox.asarray([1, 2], "types").dtype == np.int32
         with pytest.raises(ValueError):
             vox.asarray([1], "bogus")
+
+
+class TestForwardBatch:
+    def test_features_batch_matches_single(self, rng):
+        vox = make_voxelizer()
+        clouds = []
+        for v in [7, 25, 13]:
+            clouds.append(
+                (rng.uniform(-3, 3, (v, 3)).astype(np.float32), rng.uniform(size=(v, 4)).astype(np.float32))
+            )
+        out = vox.forward_batch(clouds, radii=1.0)
+        assert out.shape == (3, 4, DIM, DIM, DIM)
+        for i, (crd, feat) in enumerate(clouds):
+            single = vox.forward_features(crd, None, feat, 1.0)
+            np.testing.assert_allclose(out[i], single, atol=1e-5)
+
+    def test_types_batch(self, rng):
+        vox = make_voxelizer()
+        clouds = [
+            (rng.uniform(-3, 3, (9, 3)).astype(np.float32), rng.integers(0, 3, size=(9,)))
+            for _ in range(2)
+        ]
+        out = vox.forward_batch(clouds, radii=1.0)
+        assert out.shape == (2, 3, DIM, DIM, DIM)
+
+    def test_batch_with_centers_and_augmentation(self, rng):
+        import jax
+
+        vox = make_voxelizer()
+        clouds = [
+            (rng.uniform(5, 8, (10, 3)).astype(np.float32), rng.uniform(size=(10, 2)).astype(np.float32))
+        ]
+        centers = [clouds[0][0].mean(0)]
+        key = jax.random.PRNGKey(1)
+        a = vox.forward_batch(clouds, radii=1.0, centers=centers, random_rotation=True, key=key)
+        b = vox.forward_batch(clouds, radii=1.0, centers=centers, random_rotation=True, key=key)
+        np.testing.assert_array_equal(a, b)
+        assert a.max() > 0
+
+    def test_batch_atomwise_radii(self, rng):
+        vox = make_voxelizer(radii_type="atom-wise")
+        clouds = [
+            (rng.uniform(-3, 3, (v, 3)).astype(np.float32), rng.uniform(size=(v, 2)).astype(np.float32))
+            for v in [5, 11]
+        ]
+        radii = [rng.uniform(0.8, 1.5, size=(5,)).astype(np.float32),
+                 rng.uniform(0.8, 1.5, size=(11,)).astype(np.float32)]
+        out = vox.forward_batch(clouds, radii=radii)
+        for i, ((crd, feat), r) in enumerate(zip(clouds, radii)):
+            single = vox.forward_features(crd, None, feat, r)
+            np.testing.assert_allclose(out[i], single, atol=1e-5)
