@@ -105,7 +105,12 @@ def _atom_chunk(vp: int, hwt: int, out_bytes: int, streams: int) -> int:
 
 
 def pallas_supported(spec: GridSpec, num_channels: int) -> bool:
-    """The tiled kernel handles any dimension whose (8, Dl, 128) tile fits."""
+    """True when some (8, Dl, hwt) output tile fits the VMEM budget.
+
+    The v4 kernel (whole-row tiles) covers all standard dimensions; odd
+    dimensions fall back to streamed tiles with the same ceiling.  Beyond it
+    (very large depth), use depth-sharding (parallel.voxelize_depth_sharded)
+    or impl="dense"."""
     return 8 * spec.dimension * 128 * 4 <= _OUT_BUDGET
 
 
