@@ -56,7 +56,6 @@ def _load_molecules(path: Path, hydrogens: bool):
 def _cmd_voxelize(args) -> int:
     from .core.config import GridSpec
     from .data import AtomTypeGetter, BondTypeGetter, MolPointCloudMaker
-    from .data.pipeline import types_to_onehot
     from .parallel import StreamingVoxelizer
     from .viz.dx import write_channels_dx
 

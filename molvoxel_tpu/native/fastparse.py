@@ -14,7 +14,7 @@ from pathlib import Path
 import numpy as np
 
 from ..data.parsers import SDF_BOND_TYPES, SimpleMolecule, iter_sdf
-from .build import SO_PATH, build
+from .build import build
 
 _lib = None
 
