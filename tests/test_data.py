@@ -241,3 +241,57 @@ class TestPipeline:
             spec=GridSpec(0.5, 16), impl="dense",
         )
         assert out.shape == (2, 4, 16, 16, 16)
+
+
+class TestSystemWrapperRadii:
+    def test_atomwise_per_mol_scalar_list(self, rng):
+        # reference wrapper.py:105-114: per-molecule scalar radii expand per point
+        from molvoxel_tpu.data import MolSystemPointCloudMaker, MolSystemWrapper
+
+        lig, prot = make_mol(rng, n=4, nb=2), make_mol(rng, n=6, nb=0)
+        ag = AtomTypeGetter(["C", "N", "O", "S"])
+        bg = BondTypeGetter.default()
+        maker = MolSystemPointCloudMaker((ag, bg), (ag, None), channel_type="features")
+        vox = create_voxelizer(resolution=0.5, dimension=16, radii_type="atom-wise")
+        wrapper = MolSystemWrapper(maker, vox, name_list=["A", "B"])
+        out = wrapper.run([lig, prot], radii=[1.0, 1.5])
+        assert out.shape == (12, 16, 16, 16)
+
+        # manual expansion: 6 points (4 atoms + 2 bonds) at 1.0, 6 atoms at 1.5
+        coords, feats = maker.run([lig, prot])
+        radii = np.concatenate([np.full(6, 1.0), np.full(6, 1.5)]).astype(np.float32)
+        manual = vox.forward_features(
+            vox.asarray(coords, "coords"), None, vox.asarray(feats, "features"), radii
+        )
+        np.testing.assert_allclose(out, manual, atol=1e-6)
+
+    def test_channelwise_radii_list_concat(self, rng):
+        from molvoxel_tpu.data import MolSystemPointCloudMaker, MolSystemWrapper
+
+        lig, prot = make_mol(rng, n=4, nb=0), make_mol(rng, n=6, nb=0)
+        ag = AtomTypeGetter(["C", "N", "O", "S"])
+        maker = MolSystemPointCloudMaker((ag, None), (ag, None), channel_type="features")
+        vox = create_voxelizer(resolution=0.5, dimension=16, radii_type="channel-wise")
+        wrapper = MolSystemWrapper(maker, vox, name_list=["A", "B"])
+        r1 = rng.uniform(0.8, 1.4, 4).astype(np.float32)
+        r2 = rng.uniform(0.8, 1.4, 4).astype(np.float32)
+        out = wrapper.run([lig, prot], radii=[r1, r2])
+        assert out.shape == (8, 16, 16, 16)
+
+
+class TestTransformFacade:
+    def test_get_transform_reusable(self, rng):
+        import jax
+
+        from molvoxel_tpu.core import RandomTransform
+
+        t = RandomTransform(0.5, True)
+        concrete = t.get_transform(jax.random.PRNGKey(5))
+        coords = rng.normal(size=(7, 3)).astype(np.float32)
+        a = np.asarray(concrete(coords))
+        b = np.asarray(concrete(coords))
+        np.testing.assert_array_equal(a, b)  # a concrete T is deterministic
+        # and respects the center argument (rotation about centroid)
+        center = coords.mean(0)
+        c = np.asarray(concrete(coords, center))
+        np.testing.assert_allclose(c.mean(0) - concrete.translation, center, atol=1e-5)
