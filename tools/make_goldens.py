@@ -169,6 +169,43 @@ def main():
     )
     print("  lig_features_gaussian_torchref (torch backend, no-cutoff gaussian)")
 
+    # torch types path: validates the one-hot-matmul types implementation
+    # against the reference's scatter_add_ (torch/voxelizer.py:378)
+    tout_types = tvox.forward_types(
+        torch.tensor(lig_coords, dtype=torch.float32),
+        torch.tensor(lig_center, dtype=torch.float32),
+        torch.tensor(lig_types.astype(np.int64)), 1.0,
+    )
+    np.savez_compressed(
+        OUT_DIR / "lig_types_gaussian_torchref.npz",
+        coords=lig_coords.astype(np.float32), center=lig_center.astype(np.float32),
+        mode=np.array("types"), channels=lig_types,
+        radii=np.float32(1.0), radii_type=np.array("scalar"),
+        density=np.array("gaussian_notrunc"), sigma=np.float32(0.5),
+        resolution=np.float32(0.5), dimension=np.int32(48),
+        expected=np.asarray(tout_types.cpu().numpy(), dtype=np.float32),
+    )
+    print("  lig_types_gaussian_torchref (torch scatter_add types path)")
+
+    # torch binary path (cutoff works for binary: le_ before any in-place exp)
+    tvox_bin = RefTorchVoxelizer(resolution=0.5, dimension=48, radii_type="scalar",
+                                 density_type="binary", blockdim=48, device="cpu")
+    tout_bin = tvox_bin.forward_features(
+        torch.tensor(lig_coords, dtype=torch.float32),
+        torch.tensor(lig_center, dtype=torch.float32),
+        torch.tensor(lig_feat_onehot), 1.0,
+    )
+    np.savez_compressed(
+        OUT_DIR / "lig_features_binary_torchref.npz",
+        coords=lig_coords.astype(np.float32), center=lig_center.astype(np.float32),
+        mode=np.array("features"), channels=lig_feat_onehot,
+        radii=np.float32(1.0), radii_type=np.array("scalar"),
+        density=np.array("binary"), sigma=np.float32(0.5),
+        resolution=np.float32(0.5), dimension=np.int32(48),
+        expected=np.asarray(tout_bin.cpu().numpy(), dtype=np.float32),
+    )
+    print("  lig_features_binary_torchref (torch binary path)")
+
     print(f"pocket complex cases ({pp_coords.shape[0]} atoms):")
     case("pocket_features_gaussian", coords=pp_coords, center=lig_center, mode="features",
          channels=pp_feat, radii=1.0)
