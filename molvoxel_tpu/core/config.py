@@ -112,6 +112,27 @@ class VoxelizerConfig:
     def is_density_type_binary(self) -> bool:
         return self.density_type == "binary"
 
+    def to_dict(self) -> dict:
+        """JSON-serializable form (reproducibility manifests, CLI configs)."""
+        return {
+            "resolution": self.grid.resolution,
+            "dimension": self.grid.dimension,
+            "radii_type": self.radii_type,
+            "density_type": self.density_type,
+            "sigma": self.sigma,
+            "precision": self.precision,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VoxelizerConfig":
+        return cls(
+            grid=GridSpec(resolution=d.get("resolution", 0.5), dimension=d.get("dimension", 64)),
+            radii_type=d.get("radii_type", "scalar"),
+            density_type=d.get("density_type", "gaussian"),
+            sigma=d.get("sigma", 0.5),
+            precision=d.get("precision", 32),
+        )
+
 
 def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple

@@ -154,3 +154,18 @@ class TestTransform:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         c = do_random_transform(jax.random.PRNGKey(8), coords, None, 0.5, True)
         assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+class TestConfigSerialization:
+    def test_roundtrip(self):
+        import json
+
+        cfg = VoxelizerConfig(
+            grid=GridSpec(0.25, 32), radii_type="atom-wise", density_type="binary", sigma=0.7
+        )
+        d = json.loads(json.dumps(cfg.to_dict()))
+        back = VoxelizerConfig.from_dict(d)
+        assert back == cfg
+
+    def test_defaults(self):
+        assert VoxelizerConfig.from_dict({}) == VoxelizerConfig()
