@@ -46,7 +46,7 @@ def main():
     from molvoxel_tpu.ops.batch import voxelize_batch
 
     spec = GridSpec(resolution=0.5, dimension=64)
-    batch, vp = 64, 128
+    batch, vp = 64, 64  # vp=64: the kernel packs 2 molecules per 128-lane chunk
 
     lig = read_sdf("/root/reference/test/10gs/10gs_ligand.sdf")
     lc = (lig.coords - lig.coords.mean(0)).astype(np.float32)

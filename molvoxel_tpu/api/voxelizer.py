@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import GridSpec, VoxelizerConfig, atom_bucket
+from ..core.config import GridSpec, VoxelizerConfig, small_atom_bucket
 from ..core.transform import RandomTransform, do_random_transform
 from ..ops.voxelize import default_impl, voxelize
 
@@ -284,7 +284,7 @@ class Voxelizer:
         self._check_args_features(coords, features, radii, out_grid)
         v, c = features.shape
 
-        vp = atom_bucket(v)
+        vp = small_atom_bucket(v)
         coords_p, mask = _pad_coords(coords, vp, self.fp)
         weights_p = _pad_rows(features, vp)
 
@@ -326,7 +326,7 @@ class Voxelizer:
         else:
             c = int(types.max()) + 1 if v > 0 else 1
 
-        vp = atom_bucket(v)
+        vp = small_atom_bucket(v)
         coords_p, mask = _pad_coords(coords, vp, self.fp)
         onehot = np.zeros((vp, c), dtype=self.fp)
         onehot[np.arange(v), types.astype(np.int64)] = 1.0
@@ -358,7 +358,7 @@ class Voxelizer:
         self._check_args_single(coords, radii, out_grid)
         v = coords.shape[0]
 
-        vp = atom_bucket(v)
+        vp = small_atom_bucket(v)
         coords_p, mask = _pad_coords(coords, vp, self.fp)
         weights_p = np.zeros((vp, 1), dtype=self.fp)
         weights_p[:v, 0] = 1.0

@@ -5,6 +5,7 @@ from .config import (
     VoxelizerConfig,
     atom_bucket,
     round_up,
+    small_atom_bucket,
 )
 from .density import binary_sq, density_sq, gaussian_notrunc_sq, gaussian_sq
 from .transform import (
@@ -24,6 +25,7 @@ __all__ = [
     "GridSpec",
     "VoxelizerConfig",
     "atom_bucket",
+    "small_atom_bucket",
     "round_up",
     "binary_sq",
     "density_sq",

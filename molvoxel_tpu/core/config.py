@@ -156,6 +156,18 @@ def atom_bucket(num_atoms: int, minimum: int = 128) -> int:
     return k
 
 
+def small_atom_bucket(num_atoms: int) -> int:
+    """Bucket that allows sub-lane molecule packing: 32/64 for small molecules
+    (ops.batch packs 128//bucket molecules per 128-lane atom chunk), else the
+    regular 128-multiple buckets."""
+    n = max(int(num_atoms), 1)
+    if n <= 32:
+        return 32
+    if n <= 64:
+        return 64
+    return atom_bucket(n)
+
+
 def grid_flat_padding(spec: GridSpec, lane: int = 128) -> tuple[int, int]:
     """(HW, HW_padded): the flattened trailing plane size and its lane-aligned pad."""
     hw = spec.dimension * spec.dimension

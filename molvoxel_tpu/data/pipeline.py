@@ -14,7 +14,7 @@ from collections.abc import Iterable, Iterator, Sequence
 
 import numpy as np
 
-from ..core.config import atom_bucket
+from ..core.config import small_atom_bucket
 
 
 @dataclasses.dataclass
@@ -46,14 +46,15 @@ def pad_point_clouds(
 ) -> PaddedBatch:
     """Pad a list of (coords (V_i, 3), weights (V_i, C)) to one batch.
 
-    Vp is the common atom bucket (max V_i rounded up, core.config.atom_bucket)
+    Vp is the common atom bucket (max V_i rounded up, core.config.small_atom_bucket
+    — 32/64 for small molecules so the TPU kernel can pack several per chunk)
     unless ``bucket`` is given.  Padded atoms get zero weights, radius 1, and
     mask False — they deposit nothing.
     """
     assert len(clouds) > 0
     c = clouds[0][1].shape[1]
     vmax = max(crd.shape[0] for crd, _ in clouds)
-    vp = bucket if bucket is not None else atom_bucket(vmax)
+    vp = bucket if bucket is not None else small_atom_bucket(vmax)
     assert vp >= vmax, f"bucket {vp} smaller than max atom count {vmax}"
     b = len(clouds)
 

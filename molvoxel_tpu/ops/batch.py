@@ -93,6 +93,14 @@ def voxelize_batch(
         kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
         if channelwise:
             return voxelize_pallas_batch_channelwise(coords, weights, radii, **kw)
+        vp = coords.shape[1]
+        c = weights.shape[2]
+        pack = 128 // vp if vp in (32, 64) else 1
+        if pack > 1 and pack * c <= 32:
+            return _packed_pallas_batch(
+                coords, weights, radii, mask, pack,
+                spec=spec, density_type=density_type, sigma=sigma, d_offset=d_offset, d_count=d_count,
+            )
         return voxelize_pallas_batch(coords, weights, radii, **kw)
 
     fn = voxelize_dense_channelwise if channelwise else voxelize_dense
@@ -104,3 +112,44 @@ def voxelize_batch(
     return jax.vmap(lambda crd, w, r, m: single(crd, w, r, mask=m), in_axes=(0, 0, radii_ax, mask_ax))(
         coords, weights, radii, mask
     )
+
+
+
+def _packed_pallas_batch(coords, weights, radii, mask, pack, *, spec, density_type, sigma, d_offset, d_count):
+    """Pack `pack` small molecules into each 128-lane atom chunk.
+
+    A V<=64-atom molecule wastes most of a 128-lane chunk.  Packing P
+    molecules with block-diagonal channel weights (each molecule owns a
+    disjoint C-slice of a P*C-channel output) makes every lane and every
+    matmul row useful; the per-molecule grids fall out of a channel reshape.
+    Same trick as the reference's MolSystemPointCloudMaker channel offsets
+    (/root/reference/molvoxel/etc/rdkit/pointcloud.py:207-312), applied to
+    batching.
+    """
+    from .pallas_deposit import voxelize_pallas_batch
+
+    b, vp, c = weights.shape
+    pad_b = (-b) % pack
+    if pad_b:
+        coords = jnp.pad(coords, ((0, pad_b), (0, 0), (0, 0)))
+        weights = jnp.pad(weights, ((0, pad_b), (0, 0), (0, 0)))
+        radii = jnp.pad(radii, ((0, pad_b), (0, 0)), constant_values=1.0) if radii.ndim == 2 else radii
+        mask = jnp.pad(mask, ((0, pad_b), (0, 0))) if mask is not None else None
+    bp = coords.shape[0] // pack
+
+    pc = coords.reshape(bp, pack * vp, 3)
+    pw = jnp.zeros((bp, pack * vp, pack * c), weights.dtype)
+    wg = weights.reshape(bp, pack, vp, c)
+    for i in range(pack):
+        pw = pw.at[:, i * vp : (i + 1) * vp, i * c : (i + 1) * c].set(wg[:, i])
+    pr = radii.reshape(bp, pack * vp) if radii.ndim == 2 else jnp.tile(radii, (pack,))
+    pm = mask.reshape(bp, pack * vp) if mask is not None else None
+
+    out = voxelize_pallas_batch(
+        pc, pw, pr, spec=spec, density_type=density_type, sigma=sigma, mask=pm,
+        d_offset=d_offset, d_count=d_count,
+    )  # (bp, pack*c, Dl, H, W)
+    dl = out.shape[2]
+    dim = out.shape[3]
+    out = out.reshape(bp * pack, c, dl, dim, dim)
+    return out[:b]

@@ -204,7 +204,7 @@ class TestPipeline:
             for v in [5, 60, 33]
         ]
         batch = pad_point_clouds(clouds)
-        assert batch.coords.shape == (3, 128, 3)
+        assert batch.coords.shape == (3, 64, 3)  # small bucket: packable on TPU
         assert batch.mask.sum() == 5 + 60 + 33
         assert list(batch.num_atoms) == [5, 60, 33]
         assert batch.weights[0, 5:].sum() == 0
