@@ -85,6 +85,12 @@ def voxelize_batch(
         kw = dict(spec=spec, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
         if channelwise:
             return voxelize_separable_batch_channelwise(coords, weights, radii, **kw)
+        vp = coords.shape[1]
+        c = weights.shape[2]
+        pack = 128 // vp if vp in (32, 64) else 1
+        if pack > 1 and pack * c <= 32:
+            fn = functools.partial(voxelize_separable_batch, **kw_nomask(kw))
+            return _packed_batch(fn, coords, weights, radii, mask, pack)
         return voxelize_separable_batch(coords, weights, radii, **kw)
 
     if impl == "pallas":
@@ -97,10 +103,8 @@ def voxelize_batch(
         c = weights.shape[2]
         pack = 128 // vp if vp in (32, 64) else 1
         if pack > 1 and pack * c <= 32:
-            return _packed_pallas_batch(
-                coords, weights, radii, mask, pack,
-                spec=spec, density_type=density_type, sigma=sigma, d_offset=d_offset, d_count=d_count,
-            )
+            fn = functools.partial(voxelize_pallas_batch, **kw_nomask(kw))
+            return _packed_batch(fn, coords, weights, radii, mask, pack)
         return voxelize_pallas_batch(coords, weights, radii, **kw)
 
     fn = voxelize_dense_channelwise if channelwise else voxelize_dense
@@ -115,19 +119,22 @@ def voxelize_batch(
 
 
 
-def _packed_pallas_batch(coords, weights, radii, mask, pack, *, spec, density_type, sigma, d_offset, d_count):
+def kw_nomask(kw):
+    return {k: v for k, v in kw.items() if k != "mask"}
+
+
+def _packed_batch(fn, coords, weights, radii, mask, pack):
     """Pack `pack` small molecules into each 128-lane atom chunk.
 
-    A V<=64-atom molecule wastes most of a 128-lane chunk.  Packing P
-    molecules with block-diagonal channel weights (each molecule owns a
-    disjoint C-slice of a P*C-channel output) makes every lane and every
-    matmul row useful; the per-molecule grids fall out of a channel reshape.
-    Same trick as the reference's MolSystemPointCloudMaker channel offsets
+    A V<=64-atom molecule wastes most of a 128-lane chunk (and halves the
+    contraction K-dim of the separable matmul).  Packing P molecules with
+    block-diagonal channel weights (each molecule owns a disjoint C-slice of
+    a P*C-channel output) makes every lane and every matmul row useful; the
+    per-molecule grids fall out of a channel reshape.  Same trick as the
+    reference's MolSystemPointCloudMaker channel offsets
     (/root/reference/molvoxel/etc/rdkit/pointcloud.py:207-312), applied to
-    batching.
+    batching.  ``fn(coords, weights, radii, mask=...)`` is the unpacked op.
     """
-    from .pallas_deposit import voxelize_pallas_batch
-
     b, vp, c = weights.shape
     pad_b = (-b) % pack
     if pad_b:
@@ -145,10 +152,7 @@ def _packed_pallas_batch(coords, weights, radii, mask, pack, *, spec, density_ty
     pr = radii.reshape(bp, pack * vp) if radii.ndim == 2 else jnp.tile(radii, (pack,))
     pm = mask.reshape(bp, pack * vp) if mask is not None else None
 
-    out = voxelize_pallas_batch(
-        pc, pw, pr, spec=spec, density_type=density_type, sigma=sigma, mask=pm,
-        d_offset=d_offset, d_count=d_count,
-    )  # (bp, pack*c, Dl, H, W)
+    out = fn(pc, pw, pr, mask=pm)  # (bp, pack*c, Dl, H, W)
     dl = out.shape[2]
     dim = out.shape[3]
     out = out.reshape(bp * pack, c, dl, dim, dim)

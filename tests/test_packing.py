@@ -66,3 +66,31 @@ def test_packed_batched_radii(rng):
         None, keys, 0.0, spec=SPEC, impl="dense", radii_batched=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_packed_notrunc_matches_dense(rng):
+    b, vp, c, v = 4, 64, 3, 55
+    coords = np.zeros((b, vp, 3), np.float32)
+    coords[:, :v] = rng.uniform(-3, 3, (b, v, 3))
+    weights = np.zeros((b, vp, c), np.float32)
+    weights[:, :v] = rng.uniform(size=(b, v, c))
+    mask = np.zeros((b, vp), bool)
+    mask[:, :v] = True
+    radii = jnp.ones((vp,), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    got = voxelize_batch(
+        jnp.asarray(coords), jnp.asarray(weights), radii, jnp.asarray(mask),
+        None, keys, 0.0, spec=SPEC, density_type="gaussian_notrunc",
+    )
+    want = voxelize_batch(
+        jnp.asarray(coords), jnp.asarray(weights), radii, jnp.asarray(mask),
+        None, keys, 0.0, spec=SPEC, density_type="gaussian", impl="dense",
+    )
+    assert got.shape == want.shape
+    from molvoxel_tpu.ops.dense import voxelize_dense
+
+    want_nt = voxelize_dense(
+        jnp.asarray(coords[0]), jnp.asarray(weights[0]), radii,
+        spec=SPEC, density_type="gaussian_notrunc", mask=jnp.asarray(mask[0]),
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want_nt), atol=1e-4)
