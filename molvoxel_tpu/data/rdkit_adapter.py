@@ -76,3 +76,21 @@ def load_rdkit_mol(path: str, sanitize: bool = True):
     if path.endswith(".pdb"):
         return Chem.MolFromPDBFile(path, sanitize=sanitize, removeHs=False)
     raise ValueError(f"unsupported file type: {path}")
+
+
+def apply_coords(mol, coords):
+    """Write transformed coordinates back into a molecule (new object).
+
+    Equivalent of the reference test helper ``apply_coord``
+    (/root/reference/test/utils.py:6-11), for both RDKit Mols and
+    SimpleMolecules — used to visualize augmented poses next to their grids.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    if isinstance(mol, SimpleMolecule):
+        return SimpleMolecule(coords.copy(), list(mol.symbols), list(mol.bonds), mol.name)
+    _require_rdkit()
+    out = Chem.Mol(mol)
+    conf = out.GetConformer()
+    for i, pos in enumerate(coords):
+        conf.SetAtomPosition(i, [float(pos[0]), float(pos[1]), float(pos[2])])
+    return out

@@ -295,3 +295,14 @@ class TestTransformFacade:
         center = coords.mean(0)
         c = np.asarray(concrete(coords, center))
         np.testing.assert_allclose(c.mean(0) - concrete.translation, center, atol=1e-5)
+
+
+def test_apply_coords_simple(rng):
+    from molvoxel_tpu.data.rdkit_adapter import apply_coords
+
+    mol = make_mol(rng)
+    new = rng.normal(size=(mol.num_atoms, 3))
+    out = apply_coords(mol, new)
+    np.testing.assert_allclose(out.coords, new)
+    assert out.symbols == mol.symbols and out.bonds == mol.bonds
+    assert mol.coords is not out.coords  # original untouched
