@@ -131,10 +131,13 @@ def _pdb_element(line: str) -> str:
         elem = line[76:78].strip()
         if elem:
             return elem.capitalize() if len(elem) == 2 else elem.upper()
-    # fall back to the atom-name field (columns 13-16)
-    name = line[12:16].strip()
-    head = "".join(ch for ch in name if ch.isalpha())[:2].upper()
-    if head in _PDB_TWO_LETTER:
+    # fall back to the atom-name field (columns 13-16).  PDB convention:
+    # two-letter elements start in column 13 (line[12]); names starting in
+    # column 14 are single-letter elements (" CA " = alpha carbon, "CA  " =
+    # calcium).
+    name = line[12:16]
+    head = "".join(ch for ch in name.strip() if ch.isalpha())[:2].upper()
+    if name[:1] != " " and head in _PDB_TWO_LETTER:
         return head.capitalize()
     return head[:1]
 

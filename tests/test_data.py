@@ -306,3 +306,73 @@ def test_apply_coords_simple(rng):
     np.testing.assert_allclose(out.coords, new)
     assert out.symbols == mol.symbols and out.bonds == mol.bonds
     assert mol.coords is not out.coords  # original untouched
+
+
+class TestParserRobustness:
+    def test_sdf_with_property_block(self, tmp_path):
+        sdf = (
+            "mol1\n  prog\ncomment\n"
+            "  2  1  0  0  0  0  0  0  0  0999 V2000\n"
+            "    0.0000    0.0000    0.0000 C   0  0  0  0  0\n"
+            "    1.5000    0.0000    0.0000 O   0  0  0  0  0\n"
+            "  1  2  2  0\n"
+            "M  CHG  1   2  -1\n"
+            "M  END\n"
+            ">  <LogP>\n2.5\n\n"
+            ">  <Name>\nsomething\n\n"
+            "$$$$\n"
+            "mol2\n  prog\ncomment\n"
+            "  1  0  0  0  0  0  0  0  0  0999 V2000\n"
+            "    9.0000    9.0000    9.0000 N   0  0  0  0  0\n"
+            "M  END\n$$$$\n"
+        )
+        path = tmp_path / "props.sdf"
+        path.write_text(sdf)
+        from molvoxel_tpu.data.parsers import iter_sdf
+
+        mols = list(iter_sdf(path))
+        assert len(mols) == 2
+        assert mols[0].symbols == ["C", "O"]
+        assert mols[0].bonds == [(0, 1, "DOUBLE")]
+        assert mols[1].symbols == ["N"]
+        np.testing.assert_allclose(mols[1].coords[0], [9, 9, 9])
+
+        if True:  # native parser agrees
+            from molvoxel_tpu.native import NATIVE_AVAILABLE, parse_sdf_buffer
+
+            if NATIVE_AVAILABLE:
+                nmols = parse_sdf_buffer(sdf.encode())
+                assert len(nmols) == 2
+                assert nmols[0].symbols == mols[0].symbols
+                assert nmols[1].symbols == mols[1].symbols
+
+    def test_pdb_multimodel_reads_first(self, tmp_path):
+        pdb = (
+            "MODEL        1\n"
+            "ATOM      1  CA  ALA A   1       1.000   2.000   3.000  1.00  0.00           C\n"
+            "ENDMDL\n"
+            "MODEL        2\n"
+            "ATOM      1  CA  ALA A   1       9.000   9.000   9.000  1.00  0.00           C\n"
+            "ENDMDL\n"
+            "END\n"
+        )
+        path = tmp_path / "m.pdb"
+        path.write_text(pdb)
+        mol = read_pdb(path)
+        assert mol.num_atoms == 1
+        np.testing.assert_allclose(mol.coords[0], [1, 2, 3])
+
+    def test_pdb_element_from_atom_name(self, tmp_path):
+        # no element columns: fall back to the atom-name field
+        line = "ATOM      1  CA  ALA A   1       1.000   2.000   3.000"
+        path = tmp_path / "short.pdb"
+        path.write_text(line + "\nEND\n")
+        mol = read_pdb(path)
+        assert mol.symbols == ["C"]
+
+    def test_empty_sdf(self, tmp_path):
+        path = tmp_path / "empty.sdf"
+        path.write_text("")
+        from molvoxel_tpu.data.parsers import iter_sdf
+
+        assert list(iter_sdf(path)) == []
