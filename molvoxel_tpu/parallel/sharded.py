@@ -73,6 +73,7 @@ def voxelize_batch_dp(
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
+        check_vma=False,  # pallas_call does not propagate vma inside shard_map
     )
     return shard(coords, weights, mask, centers, keys)
 
@@ -129,6 +130,7 @@ def voxelize_depth_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(None, DEPTH_AXIS, None, None),
+        check_vma=False,  # pallas_call does not propagate vma inside shard_map
     )
     return shard(coords, weights, mask, center, key)
 
@@ -187,5 +189,6 @@ def voxelize_batch_2d(
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS, None, DEPTH_AXIS, None, None), P()),
+        check_vma=False,  # pallas_call does not propagate vma inside shard_map
     )
     return shard(coords, weights, mask, centers, keys)
