@@ -62,6 +62,13 @@ def main():
     mask[:, :v] = True
     coords, weights, mask = jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(mask)
 
+    # Consumer protocol: grids must actually land in HBM.  The Pallas
+    # kernel's output write is intrinsic (opaque custom call); the separable
+    # path is fenced internally via materialize=True — XLA otherwise folds
+    # sum(voxelize(...)) algebraically and never produces the grid (measured:
+    # the folded "throughput" reads 2-10x too high).  The full-grid sum is
+    # the cheapest unfoldable consumer: a contiguous read (~6 us/mol here);
+    # strided sample reads lower to catastrophic gathers on TPU (~45 us/mol).
     @functools.partial(jax.jit, static_argnames=("n", "density"))
     def bench_loop(key, n, density):
         def body(i, acc):
@@ -69,7 +76,7 @@ def main():
             out = voxelize_batch(
                 coords, weights, radii, mask, None, keys, 0.5,
                 spec=spec, density_type=density, sigma=0.5,
-                random_rotation=True, impl="auto",
+                random_rotation=True, impl="auto", materialize=True,
             )
             return acc + jnp.sum(out) * 1e-6
         return jax.lax.fori_loop(0, n, body, 0.0)

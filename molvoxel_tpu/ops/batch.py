@@ -32,6 +32,7 @@ from .voxelize import default_batch_impl
         "impl",
         "radii_batched",
         "d_count",
+        "materialize",
     ),
 )
 def voxelize_batch(
@@ -52,6 +53,7 @@ def voxelize_batch(
     radii_batched: bool = False,
     d_offset=0,
     d_count: int | None = None,
+    materialize: bool = False,
 ) -> jnp.ndarray:
     """Voxelize a padded batch of point clouds.
 
@@ -82,13 +84,12 @@ def voxelize_batch(
     if density_type == "gaussian_notrunc":
         from .separable import voxelize_separable_batch, voxelize_separable_batch_channelwise
 
-        kw = dict(spec=spec, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
+        kw = dict(spec=spec, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count,
+                  materialize=materialize)
         if channelwise:
-            return voxelize_separable_batch_channelwise(coords, weights, radii, **kw)
-        vp = coords.shape[1]
-        c = weights.shape[2]
-        pack = 128 // vp if vp in (32, 64) else 1
-        if pack > 1 and pack * c <= 32:
+            return voxelize_separable_batch_channelwise(coords, weights, radii, **kw_nomat(kw))
+        pack = _choose_pack_separable(coords.shape[1], weights.shape[2])
+        if pack > 1:
             fn = functools.partial(voxelize_separable_batch, **kw_nomask(kw))
             return _packed_batch(fn, coords, weights, radii, mask, pack)
         return voxelize_separable_batch(coords, weights, radii, **kw)
@@ -99,10 +100,8 @@ def voxelize_batch(
         kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
         if channelwise:
             return voxelize_pallas_batch_channelwise(coords, weights, radii, **kw)
-        vp = coords.shape[1]
-        c = weights.shape[2]
-        pack = 128 // vp if vp in (32, 64) else 1
-        if pack > 1 and pack * c <= 32:
+        pack = _choose_pack(coords.shape[1], weights.shape[2])
+        if pack > 1:
             fn = functools.partial(voxelize_pallas_batch, **kw_nomask(kw))
             return _packed_batch(fn, coords, weights, radii, mask, pack)
         return voxelize_pallas_batch(coords, weights, radii, **kw)
@@ -121,6 +120,53 @@ def voxelize_batch(
 
 def kw_nomask(kw):
     return {k: v for k, v in kw.items() if k != "mask"}
+
+
+def kw_nomat(kw):
+    return {k: v for k, v in kw.items() if k != "materialize"}
+
+
+def _choose_pack(vp: int, c: int) -> int:
+    """Molecules packed per launch row (1 = no packing).
+
+    Two independent paddings waste work on small inputs: atom lanes pad to
+    128 (a V<=64 molecule fills half a chunk or less) and output channels pad
+    to 8 sublanes (forward_single writes 8 grid channels for 1 useful one —
+    pure loss on the write-bound exact path).  The smallest pack P with
+    ``P*vp % 128 == 0`` and ``P*c % 8 == 0`` fills both exactly; when no
+    P <= 32/c does (e.g. large or odd C), fall back to lane-filling alone.
+    Packing leaves total compute invariant (same atom chunks, same tiles) —
+    it only removes padding from the lanes, the matmul M-dim, and the output
+    DMA, so smaller P is never worse than larger.
+    """
+    if vp not in (32, 64):
+        # measured on-chip (vp=128, c=4): packing full-lane molecules helps
+        # neither path — pallas 44.8 -> 46.1 us/mol, separable 8.4 -> 12.1 —
+        # the extra Vp doubles the per-axis prep without reducing the write
+        # below its compute bound.  Channel alignment only pays inside the
+        # small-molecule buckets, where lane-filling is already required.
+        return 1
+    base = 128 // vp
+    for p in range(base, 33, base):
+        if p * c > 32:
+            break
+        if (p * c) % 8 == 0:
+            return p
+    return base if base * c <= 32 else 1
+
+
+def _choose_pack_separable(vp: int, c: int) -> int:
+    """Pack for the separable (no-cutoff) path.
+
+    The separable einsum has no 8-sublane output padding to fill, so only
+    lane-filling matters; measured honestly (materialized grids, 64^3 grid),
+    C=1 prefers one extra doubling (2.0 us/mol at P=4 vs 2.7 at P=2 vs 6.1
+    at P=8 — larger P degrades the einsum tiling)."""
+    if vp not in (32, 64):
+        return 1
+    base = 128 // vp
+    p = max(base, 4) if c == 1 else base
+    return p if p * c <= 32 else 1
 
 
 def _packed_batch(fn, coords, weights, radii, mask, pack):

@@ -130,7 +130,7 @@ def voxelize_dense(
         d2 = dx2_slab[:, :, None, None] + dy2[:, None, :, None] + dz2[:, None, None, :]
         dens = density_sq(d2, r2[:, None, None, None], density_type, sigma)
         return jnp.einsum("vc,vdhw->cdhw", weights, dens, preferred_element_type=dtype,
-                          precision=jax.lax.Precision.HIGH)
+                          precision=jax.lax.Precision.HIGHEST)
 
     if nslabs == 1:
         return compute_slab(dx2)
@@ -186,7 +186,7 @@ def voxelize_dense_channelwise(
         for ci in range(c):
             dens = density_sq(d2, r2c[ci], density_type, sigma)
             per_channel.append(jnp.einsum("v,vdhw->dhw", weights[:, ci], dens, preferred_element_type=dtype,
-                                          precision=jax.lax.Precision.HIGH))
+                                          precision=jax.lax.Precision.HIGHEST))
         return jnp.stack(per_channel)  # (C, slab, H, W)
 
     if nslabs == 1:

@@ -31,10 +31,17 @@ import jax.numpy as jnp
 from ..core.config import GridSpec
 from .dense import _axis_positions
 
-_PRECISION = jax.lax.Precision.HIGH
+# HIGHEST keeps the no-cutoff path at golden-parity accuracy on-device
+# (~4e-6 vs a float64 host oracle; HIGH's 3-pass bf16 measures 2.0e-5, over
+# the 1e-5 budget vs the reference torch-backend goldens).  Measured honestly
+# (materialized grids), HIGHEST costs only ~15% here (12.7 -> 14.7 us/mol on
+# the 64^3 x4ch ligand workload) because the path is write-bound — the 2.2x
+# gap seen earlier was an artifact of XLA folding the un-fenced benchmark
+# consumer.  Reference semantics: torch/voxelizer.py:564-567 (f32 CUDA).
+_PRECISION = jax.lax.Precision.HIGHEST
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "sigma", "d_count"))
+@functools.partial(jax.jit, static_argnames=("spec", "sigma", "d_count", "materialize"))
 def voxelize_separable_batch(
     coords: jnp.ndarray,  # (B, V, 3)
     weights: jnp.ndarray,  # (B, V, C)
@@ -45,8 +52,17 @@ def voxelize_separable_batch(
     mask: jnp.ndarray | None = None,
     d_offset=0,
     d_count: int | None = None,
+    materialize: bool = False,
 ) -> jnp.ndarray:
-    """Batched no-cutoff gaussian deposit -> (B, C, Dl, H, W)."""
+    """Batched no-cutoff gaussian deposit -> (B, C, Dl, H, W).
+
+    ``materialize=True`` fences the contraction with an optimization barrier
+    in its natural (B, C*Dl, HW) layout, forcing the grid bytes to land in
+    HBM even when the downstream consumer is a foldable reduction.  XLA
+    otherwise collapses e.g. ``sum(voxelize(...))`` algebraically without
+    ever producing the grid — correct and fast for such consumers, but a
+    benchmark measuring "grids materialized per second" must set this flag
+    (bench.py, benchmarks/report.py do)."""
     b, v, c = weights.shape
     dim = spec.dimension
     dl = dim if d_count is None else d_count
@@ -76,6 +92,8 @@ def voxelize_separable_batch(
     eyz = (ey[:, :, :, None] * ez[:, :, None, :]).reshape(b, v, dim * dim)  # (B, V, HW)
     u = (weights[:, :, :, None] * ex[:, :, None, :]).reshape(b, v, c * dl)  # (B, V, C*Dl)
     out = jnp.einsum("bvm,bvn->bmn", u, eyz, preferred_element_type=dtype, precision=_PRECISION)
+    if materialize:
+        out = jax.lax.optimization_barrier(out)
     return out.reshape(b, c, dl, dim, dim)
 
 

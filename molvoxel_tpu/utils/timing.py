@@ -39,6 +39,13 @@ def measure_device_fn(
 
     ``step`` must be jit-traceable; it is called with a fresh fold_in'd key
     every iteration so no two iterations can be deduplicated.
+
+    Caution: the loop consumes ``step``'s output with a full sum.  If the
+    output is produced by foldable XLA ops (matmuls, elementwise), XLA may
+    collapse the computation into the sum without materializing the result —
+    pass ``materialize=True`` to the voxelize ops (or fence with
+    ``jax.lax.optimization_barrier`` inside ``step``) when the measurement
+    must include producing the array (CLAUDE.md "benchmark-consumer trap").
     """
     import jax
     import jax.numpy as jnp

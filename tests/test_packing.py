@@ -94,3 +94,49 @@ def test_packed_notrunc_matches_dense(rng):
         spec=SPEC, density_type="gaussian_notrunc", mask=jnp.asarray(mask[0]),
     )
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want_nt), atol=1e-4)
+
+
+def test_choose_pack_fills_lanes_and_channels():
+    from molvoxel_tpu.ops.batch import _choose_pack
+
+    # both paddings filled exactly
+    assert _choose_pack(64, 4) == 2    # 128 lanes, 8 channels
+    assert _choose_pack(64, 1) == 8    # 512 lanes, 8 channels (forward_single)
+    assert _choose_pack(64, 2) == 4
+    assert _choose_pack(32, 1) == 8
+    assert _choose_pack(32, 4) == 4
+    assert _choose_pack(64, 3) == 8    # 24 channels
+    # channel cap: lane-filling fallback
+    assert _choose_pack(64, 13) == 2
+    assert _choose_pack(64, 20) == 1
+    # full-lane molecules: packing measured counterproductive on-chip
+    assert _choose_pack(128, 4) == 1
+    assert _choose_pack(128, 1) == 1
+    assert _choose_pack(96, 1) == 1
+    assert _choose_pack(200, 4) == 1
+    assert _choose_pack(256, 1) == 1
+
+
+@pytest.mark.parametrize("vp,c,b", [(64, 1, 9), (64, 3, 4), (64, 2, 6), (32, 1, 5)])
+def test_channel_aligned_packing_matches_dense(rng, vp, c, b):
+    v = vp - 5
+    coords = np.zeros((b, vp, 3), np.float32)
+    coords[:, :v] = rng.uniform(-3, 3, (b, v, 3))
+    weights = np.zeros((b, vp, c), np.float32)
+    weights[:, :v] = rng.uniform(size=(b, v, c))
+    mask = np.zeros((b, vp), bool)
+    mask[:, :v] = True
+    radii = jnp.ones((vp,), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), b)
+
+    for density in ("gaussian", "binary", "gaussian_notrunc"):
+        got = voxelize_batch(
+            jnp.asarray(coords), jnp.asarray(weights), radii, jnp.asarray(mask),
+            None, keys, 0.0, spec=SPEC, impl="pallas", density_type=density,
+        )
+        want = voxelize_batch(
+            jnp.asarray(coords), jnp.asarray(weights), radii, jnp.asarray(mask),
+            None, keys, 0.0, spec=SPEC, impl="dense", density_type=density,
+        )
+        assert got.shape == (b, c, 16, 16, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
