@@ -99,6 +99,9 @@ def _cmd_voxelize(args) -> int:
     )
 
     if args.output:
+        # np.savez_compressed silently appends .npz to other extensions;
+        # report the path that actually exists
+        out_path = args.output if args.output.endswith(".npz") else args.output + ".npz"
         np.savez_compressed(
             args.output,
             grids=grids,
@@ -106,7 +109,7 @@ def _cmd_voxelize(args) -> int:
             resolution=np.float32(args.resolution),
             dimension=np.int32(args.dimension),
         )
-        print(f"wrote {args.output}", file=sys.stderr)
+        print(f"wrote {out_path}", file=sys.stderr)
     if args.dx:
         channel_dict = {name: grids[0, i] for i, name in enumerate(maker.channels)}
         paths = write_channels_dx(args.dx, channel_dict, [0, 0, 0], args.resolution)

@@ -511,6 +511,18 @@ def voxelize_pallas_batch(
     radii = jnp.asarray(radii, jnp.float32)
     if radii.ndim == 1:
         radii = jnp.broadcast_to(radii[None, :], (b, vp))
+    # The kernel's atom-chunk block specs need Vp % 128 == 0 (TPU lane width).
+    # Unbatched API calls arrive at the small-molecule bucket (32/64, see
+    # core.config.small_atom_bucket); pad to one chunk with far-away zero-
+    # weight atoms — their plane ranges are empty, so they cost nothing.
+    vpad = round_up(vp, 128) - vp
+    if vpad:
+        coords = jnp.pad(coords, ((0, 0), (0, vpad), (0, 0)), constant_values=1e3)
+        weights = jnp.pad(weights, ((0, 0), (0, vpad), (0, 0)))
+        radii = jnp.pad(radii, ((0, 0), (0, vpad)), constant_values=1.0)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, vpad)))
+        vp += vpad
     if vp > 128:
         coords, weights, radii, mask = _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset)
     dim = spec.dimension
@@ -655,6 +667,13 @@ def voxelize_pallas_batch_channelwise(
 ) -> jnp.ndarray:
     """Batched fused deposit with channel-wise radii ((C,) shared)."""
     gaussian = density_type == "gaussian"
+    vp0 = coords.shape[1]
+    vpad = round_up(vp0, 128) - vp0  # lane-width padding, see voxelize_pallas_batch
+    if vpad:
+        coords = jnp.pad(coords, ((0, 0), (0, vpad), (0, 0)), constant_values=1e3)
+        weights = jnp.pad(weights, ((0, 0), (0, vpad), (0, 0)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, vpad)))
     dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
         coords, weights, mask, spec, d_offset, d_count
     )

@@ -6,6 +6,8 @@ import pytest
 
 from molvoxel_tpu.core import GridSpec
 from molvoxel_tpu.ops import voxelize_dense, voxelize_dense_channelwise
+from tests.oracle import voxelize_oracle
+
 from molvoxel_tpu.ops.pallas_deposit import (
     pallas_supported,
     voxelize_pallas,
@@ -128,3 +130,33 @@ def test_pallas_depth_slab(rng):
         voxelize_pallas(coords, weights, radii, spec=SPEC, mask=mask, d_offset=8, d_count=8)
     )
     np.testing.assert_allclose(np.concatenate([lower, upper], axis=1), full, atol=1e-6)
+
+
+@pytest.mark.parametrize("vp", [32, 64])
+def test_subchunk_atom_bucket(rng, vp):
+    """vp < 128 (the unbatched API's small-molecule bucket) must pad to one
+    lane chunk internally — regression: nvc=0 reshape crash on real TPU."""
+    from molvoxel_tpu.ops.pallas_deposit import (
+        voxelize_pallas, voxelize_pallas_channelwise)
+
+    spec = GridSpec(resolution=0.5, dimension=16)
+    v, c = vp - 3, 3
+    coords = np.zeros((vp, 3), np.float32)
+    coords[:v] = rng.uniform(-3, 3, (v, 3))
+    weights = np.zeros((vp, c), np.float32)
+    weights[:v] = rng.uniform(size=(v, c))
+    mask = np.zeros((vp,), bool)
+    mask[:v] = True
+
+    got = voxelize_pallas(
+        jnp.asarray(coords), jnp.asarray(weights), jnp.ones((vp,), jnp.float32),
+        spec=spec, mask=jnp.asarray(mask))
+    want = voxelize_oracle(coords[:v], weights[:v], 1.0, 0.5, 16)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    gotc = voxelize_pallas_channelwise(
+        jnp.asarray(coords), jnp.asarray(weights), jnp.ones((c,), jnp.float32),
+        spec=spec, mask=jnp.asarray(mask))
+    wantc = voxelize_oracle(coords[:v], weights[:v], np.ones(c), 0.5, 16,
+                            channelwise_radii=True)
+    np.testing.assert_allclose(np.asarray(gotc), wantc, atol=1e-5)
