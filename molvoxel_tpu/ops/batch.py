@@ -127,7 +127,8 @@ def kw_nomat(kw):
 
 
 def _choose_pack(vp: int, c: int) -> int:
-    """Molecules packed per launch row (1 = no packing).
+    """Molecules packed per launch row for the PALLAS path (1 = no packing);
+    the separable path has its own policy (_choose_pack_separable).
 
     Two independent paddings waste work on small inputs: atom lanes pad to
     128 (a V<=64 molecule fills half a chunk or less) and output channels pad
