@@ -359,10 +359,14 @@ def _row_tile(hw: int, w: int, target: int = 1024) -> int | None:
     best = None
     t = step
     while t <= hw:
-        if hw % t == 0 and (t <= target or best is None):
-            best = t
-        if t > target and best is not None:
-            break
+        # Mosaic block legality: the dy2 block's sublane dim is t // w rows,
+        # which must be a multiple of 8 or the whole H axis (= w rows).
+        rows = t // w
+        if hw % t == 0 and (rows % 8 == 0 or rows == w):
+            if t <= target or best is None:
+                best = t
+            if t > target:
+                break
         t += step
     return best
 
@@ -526,7 +530,10 @@ def voxelize_pallas_batch(
     if vp > 128:
         coords, weights, radii, mask = _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset)
     dim = spec.dimension
+    dl_eff = dim if d_count is None else d_count
     hwt_rows = _row_tile(dim * dim, dim)
+    if hwt_rows is not None and 8 * dl_eff * hwt_rows * 4 > _OUT_BUDGET:
+        hwt_rows = None  # whole-row tile can't fit VMEM (e.g. unsliced 256^3): stream tiles instead
     if hwt_rows is not None:
         return _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt_rows)
     # fallback for grids whose H*W is not 128-aligned: streamed dyz2/eyz tiles

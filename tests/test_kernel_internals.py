@@ -14,11 +14,16 @@ from molvoxel_tpu.ops.pallas_deposit import (
 
 
 def test_row_tile_standard_dims():
-    for dim in [16, 32, 48, 64, 96, 128]:
+    for dim in [16, 32, 48, 64, 96, 128, 192, 256, 512]:
         hwt = _row_tile(dim * dim, dim)
         assert hwt is not None
         assert hwt % dim == 0 and hwt % 128 == 0
         assert (dim * dim) % hwt == 0
+        # Mosaic legality: the dy2 block's sublane dim (whole h-rows) must be
+        # a multiple of 8 or the full H axis (regression: dim=256 picked a
+        # 4-row block and crashed the real-TPU compile)
+        rows = hwt // dim
+        assert rows % 8 == 0 or rows == dim
     assert _row_tile(12 * 12, 12) is None  # 144 not 128-aligned -> fallback path
 
 
