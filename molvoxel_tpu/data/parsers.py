@@ -80,6 +80,11 @@ def iter_sdf(path: str | Path) -> Iterator[SimpleMolecule]:
     """Iterate all molecules in a (possibly multi-record) SDF file."""
     with _open_text(path) as fh:
         lines = fh.read().splitlines()
+    yield from iter_sdf_lines(lines)
+
+
+def iter_sdf_lines(lines: list[str]) -> Iterator[SimpleMolecule]:
+    """Iterate molecules over already-split SDF text lines (V2000)."""
     start = 0
     n = len(lines)
     while start < n:

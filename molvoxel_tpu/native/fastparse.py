@@ -13,7 +13,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..data.parsers import SDF_BOND_TYPES, SimpleMolecule, iter_sdf
+from ..data.parsers import SDF_BOND_TYPES, SimpleMolecule, iter_sdf_lines
 from .build import build
 
 _lib = None
@@ -135,21 +135,7 @@ def parse_sdf_buffer(buf: bytes) -> list[SimpleMolecule]:
     flat = parse_sdf_flat(buf)
     if flat is not None:
         return flat.to_molecules()
-    if True:
-        import io
-
-        text = buf.decode("utf-8", errors="replace")
-        mols = []
-        import tempfile
-
-        with tempfile.NamedTemporaryFile("w", suffix=".sdf", delete=False) as fh:
-            fh.write(text)
-            name = fh.name
-        try:
-            mols = list(iter_sdf(name))
-        finally:
-            Path(name).unlink(missing_ok=True)
-        return mols
+    return list(iter_sdf_lines(buf.decode("utf-8", errors="replace").splitlines()))
 
 
 def parse_sdf_file(path: str | Path) -> list[SimpleMolecule]:

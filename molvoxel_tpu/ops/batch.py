@@ -33,6 +33,7 @@ from .voxelize import default_batch_impl
         "radii_batched",
         "d_count",
         "materialize",
+        "out_dtype",
     ),
 )
 def voxelize_batch(
@@ -54,6 +55,7 @@ def voxelize_batch(
     d_offset=0,
     d_count: int | None = None,
     materialize: bool = False,
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Voxelize a padded batch of point clouds.
 
@@ -68,9 +70,12 @@ def voxelize_batch(
       random_translation: scalar magnitude (may be traced).
       random_rotation: static bool.
       d_offset/d_count: optional depth slab (depth-sharded execution).
+      out_dtype: "float32" (parity default) or "bfloat16" — bf16 halves the
+        grid bytes written to HBM, the measured wall of both hot paths, and
+        is the natural CNN-training input dtype.  Accumulation stays f32.
 
     Returns:
-      (B, C, Dl, H, W).
+      (B, C, Dl, H, W) of ``out_dtype``.
     """
     b = coords.shape[0]
     if impl == "auto":
@@ -85,9 +90,9 @@ def voxelize_batch(
         from .separable import voxelize_separable_batch, voxelize_separable_batch_channelwise
 
         kw = dict(spec=spec, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count,
-                  materialize=materialize)
+                  materialize=materialize, out_dtype=out_dtype)
         if channelwise:
-            return voxelize_separable_batch_channelwise(coords, weights, radii, **kw_nomat(kw))
+            return voxelize_separable_batch_channelwise(coords, weights, radii, **kw)
         pack = _choose_pack_separable(coords.shape[1], weights.shape[2])
         if pack > 1:
             fn = functools.partial(voxelize_separable_batch, **kw_nomask(kw))
@@ -97,9 +102,12 @@ def voxelize_batch(
     if impl == "pallas":
         from .pallas_deposit import voxelize_pallas_batch, voxelize_pallas_batch_channelwise
 
-        kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count)
+        kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset,
+                  d_count=d_count, out_dtype=out_dtype)
         if channelwise:
-            return voxelize_pallas_batch_channelwise(coords, weights, radii, **kw)
+            # channelwise kernel keeps f32 out blocks (cold path); XLA epilogue cast
+            out = voxelize_pallas_batch_channelwise(coords, weights, radii, **kw_nodtype(kw))
+            return out if out_dtype == "float32" else out.astype(out_dtype)
         pack = _choose_pack(coords.shape[1], weights.shape[2])
         if pack > 1:
             fn = functools.partial(voxelize_pallas_batch, **kw_nomask(kw))
@@ -112,9 +120,16 @@ def voxelize_batch(
     )
     mask_ax = None if mask is None else 0
     radii_ax = 0 if radii_batched else None
-    return jax.vmap(lambda crd, w, r, m: single(crd, w, r, mask=m), in_axes=(0, 0, radii_ax, mask_ax))(
+    out = jax.vmap(lambda crd, w, r, m: single(crd, w, r, mask=m), in_axes=(0, 0, radii_ax, mask_ax))(
         coords, weights, radii, mask
     )
+    if out_dtype != "float32":
+        out = out.astype(out_dtype)
+    if materialize:
+        # the dense path is foldable XLA too: fence it so a benchmark that
+        # asks for materialized grids cannot silently measure a folded graph
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 
@@ -122,8 +137,8 @@ def kw_nomask(kw):
     return {k: v for k, v in kw.items() if k != "mask"}
 
 
-def kw_nomat(kw):
-    return {k: v for k, v in kw.items() if k != "materialize"}
+def kw_nodtype(kw):
+    return {k: v for k, v in kw.items() if k != "out_dtype"}
 
 
 def _choose_pack(vp: int, c: int) -> int:

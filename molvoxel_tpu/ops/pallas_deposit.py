@@ -414,6 +414,116 @@ def _kernel_gaussian_v4(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, dz2_re
         jax.lax.fori_loop(d_lo, d_hi, body, 0)
 
 
+def _kernel_gaussian_v4_cast(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, dz2_ref, wt_ref,
+                             o_ref, acc_ref, *, dl: int, a: int, ct: int, hwt: int, hrows: int,
+                             nvc: int, out_dtype, lowp: bool):
+    """v4 with a reduced-precision output tile (the write-wall breaker).
+
+    The exact ligand path is bound by the out-block VMEM->HBM copy
+    (~160 GB/s on this chip; 4.19 MB of f32 grid = 21.3 us/mol floor,
+    docs/DESIGN.md).  Accumulation moves to an f32 VMEM scratch — same
+    per-plane RMW stores as the f32 kernel, which are legal on f32 — and the
+    *out block* becomes bf16, emitted as ONE aligned full-tile cast-store at
+    the last atom chunk.  No dynamic-slice store ever touches the bf16 ref
+    (1-wide sublane stores on bf16 blocks crash the Mosaic compiler).
+
+    ``lowp`` additionally runs the per-plane matmul on bf16 inputs (single
+    MXU pass vs HIGHEST's 6): with a bf16 output the quantization floor is
+    already 2^-8 relative, so the f32-accumulated bf16 matmul (~same error)
+    is free accuracy-wise and removes the compute term that would otherwise
+    replace the write as the bottleneck."""
+    vc = pl.program_id(3)
+
+    @pl.when(vc == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((ct, dl, hwt), jnp.float32)
+
+    d_lo = range_ref[0, 0, 0]
+    d_hi = range_ref[0, 0, 1]
+
+    @pl.when(d_hi > d_lo)
+    def _():
+        dy2 = dy2_ref[0]
+        dz2 = dz2_ref[0]
+        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
+        eyz = jnp.exp(dyz2 * coef_ref[0])
+        wt = wt_ref[0]
+        if lowp:
+            eyz = eyz.astype(jnp.bfloat16)
+
+        def body(d, carry):
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            exr = ex_ref[0, 0:1, pl.ds(off, a)]
+            if lowp:
+                dens = jnp.where(dyz2 <= th, eyz, jnp.bfloat16(0.0))
+                m = (wt * exr).astype(jnp.bfloat16)
+                acc = jax.lax.dot_general(
+                    m, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                dens = jnp.where(dyz2 <= th, eyz, 0.0)
+                acc = jax.lax.dot_general(
+                    wt * exr, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                )
+            acc_ref[:, pl.ds(d, 1), :] += acc[:, None, :]
+            return carry
+
+        jax.lax.fori_loop(d_lo, d_hi, body, 0)
+
+    @pl.when(vc == nvc - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(out_dtype)
+
+
+def _kernel_binary_v4_cast(range_ref, thresh_ref, dy2_ref, dz2_ref, wt_ref, o_ref, acc_ref, *,
+                           dl: int, a: int, ct: int, hwt: int, hrows: int, nvc: int,
+                           out_dtype, lowp: bool):
+    vc = pl.program_id(3)
+
+    @pl.when(vc == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((ct, dl, hwt), jnp.float32)
+
+    d_lo = range_ref[0, 0, 0]
+    d_hi = range_ref[0, 0, 1]
+
+    @pl.when(d_hi > d_lo)
+    def _():
+        dy2 = dy2_ref[0]
+        dz2 = dz2_ref[0]
+        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
+        wt = wt_ref[0]
+        if lowp:
+            wt = wt.astype(jnp.bfloat16)
+
+        def body(d, carry):
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            if lowp:
+                dens = jnp.where(dyz2 <= th, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+                acc = jax.lax.dot_general(
+                    wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                dens = jnp.where(dyz2 <= th, 1.0, 0.0)
+                acc = jax.lax.dot_general(
+                    wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                )
+            acc_ref[:, pl.ds(d, 1), :] += acc[:, None, :]
+            return carry
+
+        jax.lax.fori_loop(d_lo, d_hi, body, 0)
+
+    @pl.when(vc == nvc - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(out_dtype)
+
+
 def _kernel_binary_v4(range_ref, thresh_ref, dy2_ref, dz2_ref, wt_ref, o_ref, *,
                       dl: int, a: int, ct: int, hwt: int, hrows: int):
     vc = pl.program_id(3)
@@ -496,7 +606,7 @@ def _skip_flags3(dyz2_t, thresh, hwt, a):
     return jnp.swapaxes(flags, 2, 3).reshape(b * nhwt * nvc, 1, dl).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
+@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count", "out_dtype"))
 def voxelize_pallas_batch(
     coords: jnp.ndarray,  # (B, Vp, 3)
     weights: jnp.ndarray,  # (B, Vp, C)
@@ -508,8 +618,15 @@ def voxelize_pallas_batch(
     mask: jnp.ndarray | None = None,  # (B, Vp)
     d_offset=0,
     d_count: int | None = None,
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
-    """Batched fused deposit -> (B, C, Dl, H, W).  Per-atom radii."""
+    """Batched fused deposit -> (B, C, Dl, H, W).  Per-atom radii.
+
+    ``out_dtype``: "float32" (parity default) or "bfloat16".  bf16 grids halve
+    the output-write bytes — the measured wall of the exact ligand path (see
+    _kernel_gaussian_v4_cast) — and are the natural input dtype for CNN
+    training consumers; accumulation stays f32 in VMEM, only the final HBM
+    tile is cast."""
     gaussian = density_type == "gaussian"
     b, vp, c = weights.shape
     radii = jnp.asarray(radii, jnp.float32)
@@ -535,7 +652,8 @@ def voxelize_pallas_batch(
     if hwt_rows is not None and 8 * dl_eff * hwt_rows * 4 > _OUT_BUDGET:
         hwt_rows = None  # whole-row tile can't fit VMEM (e.g. unsliced 256^3): stream tiles instead
     if hwt_rows is not None:
-        return _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt_rows)
+        return _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt_rows,
+                       out_dtype=out_dtype)
     # fallback for grids whose H*W is not 128-aligned: streamed dyz2/eyz tiles
     dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
         coords, weights, mask, spec, d_offset, d_count
@@ -588,10 +706,14 @@ def voxelize_pallas_batch(
             cost_estimate=cost,
             interpret=_interpret(),
         )(flags, thresh_rows, dyz2_t, wt)
-    return out[:, :c, :, :hw].reshape(b, c, dl, dim, dim)
+    out = out[:, :c, :, :hw].reshape(b, c, dl, dim, dim)
+    # streamed fallback keeps f32 out blocks; the cast is an XLA epilogue here
+    # (correct, just not write-reduced — only non-128-aligned H*W lands here)
+    return out if out_dtype == "float32" else out.astype(out_dtype)
 
 
-def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt):
+def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt,
+            out_dtype: str = "float32"):
     """v4 launch: per-axis inputs only, dyz2/eyz rebuilt in-kernel."""
     dx2, dy2_t, dz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_axes(
         coords, weights, mask, spec, d_offset, d_count
@@ -601,9 +723,13 @@ def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_cou
         r2 = jnp.where(mask, r2, 1.0)
     thresh = r2[:, None, :] - dx2  # (B, Dl, Vp)
 
+    cast = out_dtype != "float32"
+    odt = jnp.dtype(out_dtype)
     ct = _channel_tile(cp, dl, hwt)
-    # per-step VMEM working set: dyz2 + eyz + dens tiles of (hwt, a)
-    a = _atom_chunk(vp, hwt, ct * dl * hwt * 4, streams=1)
+    # per-step VMEM working set: dyz2 + eyz + dens tiles of (hwt, a);
+    # the cast path adds an f32 scratch accumulator next to the smaller out block
+    out_bytes = ct * dl * hwt * (4 + odt.itemsize) if cast else ct * dl * hwt * 4
+    a = _atom_chunk(vp, hwt, out_bytes, streams=1)
     nvc = vp // a
     nhwt = hw // hwt
     hrows = hwt // dim
@@ -625,12 +751,19 @@ def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_cou
         transcendentals=b * (cp // ct) * vp * hw if gaussian else 0,
     )
 
+    scratch = [pltpu.VMEM((ct, dl, hwt), jnp.float32)] if cast else []
+    lowp = cast  # bf16 out -> bf16-input matmul: quantization floor already 2^-8
     if gaussian:
         coef = -(0.5 / (sigma * sigma)) / r2  # (B, Vp)
         ex_rows = _chunk_rows(jnp.exp(dx2 * coef[:, None, :]), a)
         coef_chunks = coef.reshape(b, nvc, a).reshape(b * nvc, 1, a)
+        if cast:
+            kernel = functools.partial(_kernel_gaussian_v4_cast, dl=dl, a=a, ct=ct, hwt=hwt,
+                                       hrows=hrows, nvc=nvc, out_dtype=odt, lowp=lowp)
+        else:
+            kernel = functools.partial(_kernel_gaussian_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows)
         out = pl.pallas_call(
-            functools.partial(_kernel_gaussian_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows),
+            kernel,
             grid=grid,
             in_specs=[
                 range_spec,
@@ -642,17 +775,24 @@ def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_cou
                 wt_spec,
             ],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), odt if cast else jnp.float32),
+            scratch_shapes=scratch,
             cost_estimate=cost,
             interpret=_interpret(),
         )(ranges, thresh_rows, ex_rows, coef_chunks, dy2_t, dz2_t, wt)
     else:
+        if cast:
+            kernel = functools.partial(_kernel_binary_v4_cast, dl=dl, a=a, ct=ct, hwt=hwt,
+                                       hrows=hrows, nvc=nvc, out_dtype=odt, lowp=lowp)
+        else:
+            kernel = functools.partial(_kernel_binary_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows)
         out = pl.pallas_call(
-            functools.partial(_kernel_binary_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows),
+            kernel,
             grid=grid,
             in_specs=[range_spec, row_spec, dy2_spec, dz2_spec, wt_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), odt if cast else jnp.float32),
+            scratch_shapes=scratch,
             cost_estimate=cost,
             interpret=_interpret(),
         )(ranges, thresh_rows, dy2_t, dz2_t, wt)

@@ -41,7 +41,7 @@ from .dense import _axis_positions
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "sigma", "d_count", "materialize"))
+@functools.partial(jax.jit, static_argnames=("spec", "sigma", "d_count", "materialize", "out_dtype"))
 def voxelize_separable_batch(
     coords: jnp.ndarray,  # (B, V, 3)
     weights: jnp.ndarray,  # (B, V, C)
@@ -53,6 +53,7 @@ def voxelize_separable_batch(
     d_offset=0,
     d_count: int | None = None,
     materialize: bool = False,
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Batched no-cutoff gaussian deposit -> (B, C, Dl, H, W).
 
@@ -62,7 +63,11 @@ def voxelize_separable_batch(
     otherwise collapses e.g. ``sum(voxelize(...))`` algebraically without
     ever producing the grid — correct and fast for such consumers, but a
     benchmark measuring "grids materialized per second" must set this flag
-    (bench.py, benchmarks/report.py do)."""
+    (bench.py, benchmarks/report.py do).
+
+    ``out_dtype="bfloat16"`` casts the einsum result before the barrier: the
+    grid bytes written to HBM halve, which is most of this write-bound path's
+    cost (f32 accumulation inside the contraction is unchanged)."""
     b, v, c = weights.shape
     dim = spec.dimension
     dl = dim if d_count is None else d_count
@@ -91,13 +96,23 @@ def voxelize_separable_batch(
 
     eyz = (ey[:, :, :, None] * ez[:, :, None, :]).reshape(b, v, dim * dim)  # (B, V, HW)
     u = (weights[:, :, :, None] * ex[:, :, None, :]).reshape(b, v, c * dl)  # (B, V, C*Dl)
-    out = jnp.einsum("bvm,bvn->bmn", u, eyz, preferred_element_type=dtype, precision=_PRECISION)
+    if out_dtype == "float32":
+        out = jnp.einsum("bvm,bvn->bmn", u, eyz, preferred_element_type=dtype, precision=_PRECISION)
+    else:
+        # bf16 output: quantization floor is already 2^-8 relative, so bf16
+        # einsum inputs (one MXU pass vs HIGHEST's six) are free accuracy-wise;
+        # the contraction still accumulates f32 in the MXU, and emitting bf16
+        # directly from the matmul removes the cast epilogue read-modify-write.
+        out = jnp.einsum(
+            "bvm,bvn->bmn", u.astype(out_dtype), eyz.astype(out_dtype),
+            preferred_element_type=jnp.dtype(out_dtype),
+        )
     if materialize:
         out = jax.lax.optimization_barrier(out)
     return out.reshape(b, c, dl, dim, dim)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "sigma", "d_count"))
+@functools.partial(jax.jit, static_argnames=("spec", "sigma", "d_count", "materialize", "out_dtype"))
 def voxelize_separable_batch_channelwise(
     coords: jnp.ndarray,  # (B, V, 3)
     weights: jnp.ndarray,  # (B, V, C)
@@ -108,8 +123,14 @@ def voxelize_separable_batch_channelwise(
     mask: jnp.ndarray | None = None,
     d_offset=0,
     d_count: int | None = None,
+    materialize: bool = False,
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
-    """Channel-wise radii variant: per-channel axis factors, C small."""
+    """Channel-wise radii variant: per-channel axis factors, C small.
+
+    ``materialize``/``out_dtype`` match voxelize_separable_batch: the barrier
+    fences each per-channel contraction in its natural (B, Dl, HW) layout so
+    benchmarks of this path cannot be folded away either."""
     b, v, c = weights.shape
     dim = spec.dimension
     dl = dim if d_count is None else d_count
@@ -135,9 +156,12 @@ def voxelize_separable_batch_channelwise(
         ez = axis_factor(coords[:, :, 2], ax)
         eyz = (ey[:, :, :, None] * ez[:, :, None, :]).reshape(b, v, dim * dim)
         u = weights[:, :, ci : ci + 1] * ex  # (B, V, Dl)
-        outs.append(
-            jnp.einsum("bvm,bvn->bmn", u, eyz, preferred_element_type=dtype, precision=_PRECISION)
-        )
+        oc = jnp.einsum("bvm,bvn->bmn", u, eyz, preferred_element_type=dtype, precision=_PRECISION)
+        if out_dtype != "float32":
+            oc = oc.astype(out_dtype)
+        if materialize:
+            oc = jax.lax.optimization_barrier(oc)
+        outs.append(oc)
     return jnp.stack(outs, axis=1).reshape(b, c, dl, dim, dim)
 
 
