@@ -519,55 +519,66 @@ class Voxelizer:
         )
 
     # ------------------------------------------------------------------ checks
-    # Same argument contracts as the reference
-    # (/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:171-192,317-343,438-455).
+    # Same argument *contracts* as the reference
+    # (/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:171-192,317-343,438-455)
+    # — which arguments must be scalar/array of what shape — validated via one
+    # shared radii checker with our own diagnostics.
+
+    def _check_radii(self, radii, *, num_atoms: int, num_channels: int | None):
+        if self.is_radii_type_scalar:
+            assert np.isscalar(radii), (
+                f"radii_type='scalar' expects a python scalar, got shape {np.shape(radii)}"
+            )
+            return
+        if self.is_radii_type_channel_wise:
+            want = num_channels
+            kind = "channel"
+        else:
+            want = num_atoms
+            kind = "atom"
+        assert not np.isscalar(radii), (
+            f"radii_type='{self.radii_type}' expects one radius per {kind} ({want},), got a scalar"
+        )
+        got = np.shape(radii)
+        if self.is_radii_type_channel_wise and num_channels is not None and len(got) == 1:
+            # types path: radii must cover every type index that can occur
+            assert got[0] >= want, f"channel-wise radii {got} cover fewer channels than required ({want})"
+        else:
+            assert got == (want,), f"radii shape {got} != one per {kind} ({want},)"
+
+    def _check_out_grid(self, out_grid, num_channels: int | None, exact: bool):
+        if out_grid is None:
+            return
+        d = self.dimension
+        got = np.shape(out_grid)
+        assert got[1:] == (d, d, d), f"out_grid spatial shape {got[1:]} != {(d, d, d)}"
+        if num_channels is not None:
+            if exact:
+                assert got[0] == num_channels, f"out_grid has {got[0]} channels, expected {num_channels}"
+            else:
+                assert got[0] >= num_channels, f"out_grid has {got[0]} channels, needs at least {num_channels}"
 
     def _check_args_features(self, coords, features, radii, out_grid=None):
         v = coords.shape[0]
-        assert features.ndim == 2, f"atom features does not match dimension: {features.shape} vs {(v, '*')}"
-        assert features.shape[0] == v, f"atom features does not match number of atoms: {features.shape[0]} vs {v}"
-        c = features.shape[1]
-        d = self.dimension
-        if self.is_radii_type_scalar:
-            assert np.isscalar(radii), "the radii type of voxelizer is `scalar`, radii should be scalar"
-        elif self.is_radii_type_channel_wise:
-            assert not np.isscalar(radii), f"the radii type of voxelizer is `channel-wise`, radii should be Array[{c},]"
-            assert np.shape(radii) == (c,), f"radii does not match dimension (number of channels,): {np.shape(radii)} vs {(c,)}"
-        else:
-            assert not np.isscalar(radii), f"the radii type of voxelizer is `atom-wise`, radii should be Array[{v},]"
-            assert np.shape(radii) == (v,), f"radii does not match dimension (number of atoms,): {np.shape(radii)} vs {(v,)}"
-        if out_grid is not None:
-            assert np.shape(out_grid) == (c, d, d, d), f"Output grid dimension incorrect: {np.shape(out_grid)} vs {(c, d, d, d)}"
+        assert features.ndim == 2 and features.shape[0] == v, (
+            f"features must be (num_atoms={v}, C), got {features.shape}"
+        )
+        self._check_radii(radii, num_atoms=v, num_channels=features.shape[1])
+        self._check_out_grid(out_grid, features.shape[1], exact=True)
 
     def _check_args_types(self, coords, types, radii, out_grid=None):
         v = coords.shape[0]
+        assert types.shape == (v,), f"types must be (num_atoms={v},), got {types.shape}"
         c = int(types.max()) + 1 if v > 0 else 1
-        d = self.dimension
-        assert types.shape == (v,), f"types does not match dimension: {types.shape} vs {(v,)}"
-        if self.is_radii_type_scalar:
-            assert np.isscalar(radii), "the radii type of voxelizer is `scalar`, radii should be scalar"
-        elif self.is_radii_type_channel_wise:
-            assert not np.isscalar(radii), f"the radii type of voxelizer is `channel-wise`, radii should be Array[{c},]"
-            assert np.shape(radii)[0] >= c, f"radii does not cover all types: {np.shape(radii)} vs C>={c}"
-        else:
-            assert not np.isscalar(radii), f"the radii type of voxelizer is `atom-wise`, radii should be Array[{v},]"
-            assert np.shape(radii) == (v,), f"radii does not match dimension (number of atoms,): {np.shape(radii)} vs {(v,)}"
-        if out_grid is not None:
-            assert np.shape(out_grid)[0] >= c, f"Output channel is less than number of types: {np.shape(out_grid)[0]} < {c}"
-            assert np.shape(out_grid)[1:] == (d, d, d), f"Output grid dimension incorrect: {np.shape(out_grid)} vs {('*', d, d, d)}"
+        self._check_radii(radii, num_atoms=v, num_channels=c)
+        self._check_out_grid(out_grid, c, exact=False)
 
     def _check_args_single(self, coords, radii, out_grid=None):
-        v = coords.shape[0]
-        d = self.dimension
-        assert not self.is_radii_type_channel_wise, "Channel-Wise Radii Type is not supported"
-        if self.is_radii_type_scalar:
-            assert np.isscalar(radii), "the radii type of voxelizer is `scalar`, radii should be scalar"
-        else:
-            assert not np.isscalar(radii), f"the radii type of voxelizer is `atom-wise`, radii should be Array[{v},]"
-            assert np.shape(radii) == (v,), f"radii does not match dimension (number of atoms,): {np.shape(radii)} vs {(v,)}"
-        if out_grid is not None:
-            assert np.shape(out_grid)[0] == 1, "Output channel should be 1"
-            assert np.shape(out_grid)[1:] == (d, d, d), f"Output grid dimension incorrect: {np.shape(out_grid)} vs {('*', d, d, d)}"
+        assert not self.is_radii_type_channel_wise, (
+            "forward_single has no channel axis; channel-wise radii cannot apply"
+        )
+        self._check_radii(radii, num_atoms=coords.shape[0], num_channels=None)
+        self._check_out_grid(out_grid, 1, exact=True)
 
 
 # ------------------------------------------------------------------- helpers

@@ -1,22 +1,32 @@
 """Point-cloud makers: molecules -> (coords, channels) arrays.
 
-Feature-parity port of the reference maker hierarchy
-(/root/reference/molvoxel/etc/rdkit/pointcloud.py:12-326) with two changes:
+Public API matches the reference maker hierarchy
+(/root/reference/molvoxel/etc/rdkit/pointcloud.py:12-326) — same class names,
+constructor signatures and run() outputs — but the internals are a fresh
+design around a flat **block table**: every maker compiles its inputs into a
+list of ``_Block(source, getter, channel_lo)`` records at construction, and
+all assembly (coords, one-hot features, type indices) is a single loop over
+that table.  This removes the reference's three parallel mechanisms (per-mode
+``setup_*`` index fields, an offset-overriding element subclass, and
+duplicated feature/type writers).
 
-- Toolkit-agnostic molecules: works on data.parsers.SimpleMolecule out of the
-  box and on RDKit Mol objects when RDKit is installed (the reference requires
-  RDKit unconditionally).
-- The documented-but-broken coords override of the reference
-  (``kwargs.get("kwargs", ...)`` instead of ``"coords"``, pointcloud.py:72,232
-  — SURVEY.md Q4) is implemented correctly here: pass ``coords=...`` to run().
+Differences from the reference worth knowing:
+
+- Toolkit-agnostic: works on data.parsers.SimpleMolecule out of the box and
+  on RDKit Mol objects when RDKit is installed (the reference requires RDKit
+  unconditionally).
+- The reference's documented-but-broken coords override
+  (``kwargs.get("kwargs", ...)`` instead of ``"coords"``,
+  pointcloud.py:72,232 — SURVEY.md Q4) works here: pass ``coords=`` to run().
+- Types are int32 (TPU-native int; reference uses int16).
 
 Bond channels place pseudo-atoms at bond midpoints, concatenated after the
-atom block, exactly like the reference (pointcloud.py:79-89).  Types are
-int32 (TPU-native int; reference uses int16).
+atom block, exactly like the reference (pointcloud.py:79-89).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
@@ -24,47 +34,100 @@ import numpy as np
 from .getter import AtomChannelGetter, BondChannelGetter
 from .parsers import SimpleMolecule
 
+_MODES = ("features", "types")
+
+
+# ------------------------------------------------------------ molecule access
+
 
 def _mol_coords(mol: Any) -> np.ndarray:
     if isinstance(mol, SimpleMolecule):
         return np.asarray(mol.coords, dtype=np.float64)
-    conf = mol.GetConformer()
-    return np.asarray(conf.GetPositions(), dtype=np.float64)
-
-
-def _mol_atoms(mol: Any) -> list:
-    if isinstance(mol, SimpleMolecule):
-        return list(mol.symbols)
-    return list(mol.GetAtoms())
-
-
-def _mol_bonds(mol: Any) -> list:
-    if isinstance(mol, SimpleMolecule):
-        return [t for (_, _, t) in mol.bonds]
-    return list(mol.GetBonds())
+    return np.asarray(mol.GetConformer().GetPositions(), dtype=np.float64)
 
 
 def _mol_num_atoms(mol: Any) -> int:
-    if isinstance(mol, SimpleMolecule):
-        return mol.num_atoms
-    return mol.GetNumAtoms()
+    return mol.num_atoms if isinstance(mol, SimpleMolecule) else mol.GetNumAtoms()
 
 
 def _mol_num_bonds(mol: Any) -> int:
-    if isinstance(mol, SimpleMolecule):
-        return mol.num_bonds
-    return mol.GetNumBonds()
+    return mol.num_bonds if isinstance(mol, SimpleMolecule) else mol.GetNumBonds()
 
 
 def _mol_bond_midpoints(mol: Any, atom_coords: np.ndarray) -> np.ndarray:
     if isinstance(mol, SimpleMolecule):
         return mol.bond_midpoints()
-    begin = [b.GetBeginAtomIdx() for b in mol.GetBonds()]
-    end = [b.GetEndAtomIdx() for b in mol.GetBonds()]
-    return (atom_coords[begin] + atom_coords[end]) / 2.0
+    pairs = [(b.GetBeginAtomIdx(), b.GetEndAtomIdx()) for b in mol.GetBonds()]
+    if not pairs:
+        return np.zeros((0, 3), dtype=atom_coords.dtype)
+    ij = np.asarray(pairs)
+    return (atom_coords[ij[:, 0]] + atom_coords[ij[:, 1]]) / 2.0
+
+
+def _mol_items(mol: Any, source: str) -> list:
+    """The objects a getter consumes: symbols/Atoms or bond names/Bonds."""
+    if source == "atoms":
+        return list(mol.symbols) if isinstance(mol, SimpleMolecule) else list(mol.GetAtoms())
+    if isinstance(mol, SimpleMolecule):
+        return [t for (_i, _j, t) in mol.bonds]
+    return list(mol.GetBonds())
+
+
+def _source_count(mol: Any, source: str) -> int:
+    return _mol_num_atoms(mol) if source == "atoms" else _mol_num_bonds(mol)
+
+
+# ---------------------------------------------------------------- block table
+
+
+@dataclass(frozen=True)
+class _Block:
+    """One (molecule-slot, point source, getter) unit of the assembly plan."""
+
+    mol_slot: int  # index into the molecule list handed to run()
+    source: str  # "atoms" | "bonds"
+    getter: Any
+    channel_lo: int  # first output channel this getter writes
+
+    @property
+    def channel_hi(self) -> int:
+        return self.channel_lo + self.getter.num_channels
+
+
+def _validate_getters(mode: str, *getters) -> None:
+    allowed = ("TYPE",) if mode == "types" else ("TYPE", "FEATURE")
+    for g in getters:
+        if g is not None:
+            assert g.CHANNEL_TYPE in allowed, (
+                f"{mode!r} makers accept {'/'.join(allowed)} getters, got {g.CHANNEL_TYPE}"
+            )
+
+
+def _type_indices(block: _Block, items: list, **kwargs) -> np.ndarray:
+    g = block.getter
+    return np.fromiter(
+        (g.get_type(it, **kwargs) for it in items), dtype=np.int32, count=len(items)
+    ) + np.int32(block.channel_lo)
+
+
+def _feature_rows(block: _Block, items: list, num_channels: int, **kwargs) -> np.ndarray:
+    g = block.getter
+    rows = np.zeros((len(items), num_channels), dtype=np.float32)
+    if hasattr(g, "get_type") and not kwargs:
+        # TYPE getter: one-hot rows, written by fancy indexing in one pass
+        cols = _type_indices(block, items)
+        rows[np.arange(len(items)), cols] = 1.0
+    elif items:
+        rows[:, block.channel_lo : block.channel_hi] = [g.get_feature(it, **kwargs) for it in items]
+    return rows
+
+
+# -------------------------------------------------------------------- makers
 
 
 class PointCloudMaker:
+    """Base: channel registry + per-channel image splitting."""
+
     def __init__(self, channels: list[str]):
         self.channels = channels
         self.num_channels = len(channels)
@@ -72,7 +135,7 @@ class PointCloudMaker:
     def split_channel(self, image) -> dict[str, Any]:
         """Name -> per-channel sub-image (reference pointcloud.py:17-19)."""
         assert np.shape(image)[0] == self.num_channels
-        return {name: channel for name, channel in zip(self.channels, image)}
+        return dict(zip(self.channels, image))
 
     def run(self, *args, **kwargs):
         raise NotImplementedError
@@ -81,7 +144,89 @@ class PointCloudMaker:
         return self.run(*args, **kwargs)
 
 
-class MolPointCloudMaker(PointCloudMaker):
+class _BlockTableMaker(PointCloudMaker):
+    """Shared engine: everything is a loop over the block table."""
+
+    def __init__(self, blocks: list[_Block], channels: list[str], channel_type: str):
+        assert channel_type in _MODES, (
+            f"channel_type(input: {channel_type}) must be one of {_MODES}"
+        )
+        super().__init__(channels)
+        self.channel_type = channel_type
+        self.use_features = channel_type == "features"
+        self._blocks = blocks
+        self._num_slots = 1 + max(b.mol_slot for b in blocks)
+
+    # -- geometry
+
+    def _slot_coords(self, mol, slot: int) -> list[np.ndarray]:
+        parts = []
+        atom_coords = None
+        for b in self._blocks:
+            if b.mol_slot != slot:
+                continue
+            if b.source == "atoms":
+                atom_coords = _mol_coords(mol)
+                parts.append(atom_coords)
+            else:
+                base = atom_coords if atom_coords is not None else _mol_coords(mol)
+                parts.append(_mol_bond_midpoints(mol, base))
+        return parts
+
+    def _coords_of(self, mols: list) -> np.ndarray:
+        parts = []
+        for slot, mol in enumerate(mols):
+            parts.extend(self._slot_coords(mol, slot))
+        return np.concatenate(parts, axis=0) if parts else np.zeros((0, 3))
+
+    def _points_of(self, mols: list) -> int:
+        return sum(_source_count(mols[b.mol_slot], b.source) for b in self._blocks)
+
+    # -- channels
+
+    def _features_of(self, mols: list, out: np.ndarray | None, **kwargs) -> np.ndarray:
+        n = self._points_of(mols)
+        if out is None:
+            out = np.zeros((n, self.num_channels), dtype=np.float32)
+        else:
+            out.fill(0)
+        row = 0
+        for b in self._blocks:
+            items = _mol_items(mols[b.mol_slot], b.source)
+            if items:
+                out[row : row + len(items)] = _feature_rows(b, items, self.num_channels, **kwargs)
+            row += len(items)
+        return out
+
+    def _types_of(self, mols: list, out: np.ndarray | None, **kwargs) -> np.ndarray:
+        assert not self.use_features, "types output requires channel_type='types'"
+        n = self._points_of(mols)
+        if out is None:
+            out = np.empty((n,), dtype=np.int32)
+        row = 0
+        for b in self._blocks:
+            items = _mol_items(mols[b.mol_slot], b.source)
+            if items:
+                out[row : row + len(items)] = _type_indices(b, items, **kwargs)
+            row += len(items)
+        return out
+
+    def _channels_of(self, mols: list, out=None, **kwargs) -> np.ndarray:
+        if self.use_features:
+            return self._features_of(mols, out, **kwargs)
+        return self._types_of(mols, out, **kwargs)
+
+    def _run(self, mols: list, **kwargs) -> tuple[np.ndarray, np.ndarray]:
+        coords = kwargs.pop("coords", None)
+        channels = kwargs.pop("channels", None)
+        if coords is None:
+            coords = self._coords_of(mols)
+        if channels is None:
+            channels = self._channels_of(mols, **kwargs)
+        return coords, channels
+
+
+class MolPointCloudMaker(_BlockTableMaker):
     """Single-molecule maker: atoms (+ optional bond midpoints) -> channels."""
 
     def __init__(
@@ -90,214 +235,84 @@ class MolPointCloudMaker(PointCloudMaker):
         bond_getter: BondChannelGetter | None = None,
         channel_type: str = "features",
     ):
-        assert channel_type in ("features", "types"), (
-            f"channel_type(input: {channel_type}) should be 'features' or 'types'"
-        )
-        self.channel_type = channel_type
-        self.use_features = use_features = channel_type == "features"
-        if use_features:
-            assert atom_getter.CHANNEL_TYPE in ("TYPE", "FEATURE")
-            if bond_getter is not None:
-                assert bond_getter.CHANNEL_TYPE in ("TYPE", "FEATURE")
-        else:
-            assert atom_getter.CHANNEL_TYPE == "TYPE"
-            if bond_getter is not None:
-                assert bond_getter.CHANNEL_TYPE == "TYPE"
-
+        _validate_getters("types" if channel_type == "types" else "features", atom_getter, bond_getter)
         self.atom_getter = atom_getter
         self.bond_getter = bond_getter
         self.use_bond = bond_getter is not None
         self.num_atom_channels = atom_getter.num_channels
         self.num_bond_channels = bond_getter.num_channels if bond_getter is not None else 0
-        channels = list(atom_getter.channels) + (list(bond_getter.channels) if bond_getter is not None else [])
-        super().__init__(channels)
 
-        if use_features:
-            self.setup_features()
-        else:
-            self.setup_types()
+        blocks = [_Block(0, "atoms", atom_getter, 0)]
+        channels = list(atom_getter.channels)
+        if bond_getter is not None:
+            blocks.append(_Block(0, "bonds", bond_getter, blocks[0].channel_hi))
+            channels += list(bond_getter.channels)
+        super().__init__(blocks, channels, channel_type)
 
     def run(self, mol, **kwargs) -> tuple[np.ndarray, np.ndarray]:
-        coords = kwargs.pop("coords", None)
-        if coords is None:
-            coords = self.get_coords(mol)
-        channels = kwargs.pop("channels", None)
-        if channels is None:
-            channels = self.get_channels(mol, **kwargs)
-        return coords, channels
+        return self._run([mol], **kwargs)
 
     def get_coords(self, mol) -> np.ndarray:
-        atom_coords = _mol_coords(mol)
-        if self.use_bond:
-            bond_coords = _mol_bond_midpoints(mol, atom_coords)
-            return np.concatenate([atom_coords, bond_coords], axis=0)
-        return atom_coords
+        return self._coords_of([mol])
 
     def get_channels(self, mol, out: np.ndarray | None = None, **kwargs) -> np.ndarray:
-        if self.use_features:
-            return self.get_features(mol, out, **kwargs)
-        return self.get_types(mol, out, **kwargs)
-
-    """ FEATURES """
-
-    def setup_features(self):
-        self.atom_st = 0
-        self.atom_end = self.atom_st + self.num_atom_channels
-        if self.use_bond:
-            self.bond_st = self.atom_end
-            self.bond_end = self.bond_st + self.num_bond_channels
+        return self._channels_of([mol], out, **kwargs)
 
     def get_features(self, mol, out: np.ndarray | None = None, **kwargs) -> np.ndarray:
-        num_points = _mol_num_atoms(mol) + (_mol_num_bonds(mol) if self.use_bond else 0)
-        if out is None:
-            out = np.zeros((num_points, self.num_channels), dtype=np.float32)
-        else:
-            out.fill(0)
-        return self._get_features(mol, out, **kwargs)
-
-    def _get_features(self, mol, out: np.ndarray, **kwargs) -> np.ndarray:
-        num_atoms = _mol_num_atoms(mol)
-        atom_features = [self.atom_getter.get_feature(a, **kwargs) for a in _mol_atoms(mol)]
-        if num_atoms > 0:
-            out[:num_atoms, self.atom_st : self.atom_end] = atom_features
-        if self.use_bond:
-            bond_features = [self.bond_getter.get_feature(b, **kwargs) for b in _mol_bonds(mol)]
-            if bond_features:
-                out[num_atoms:, self.bond_st : self.bond_end] = bond_features
-        return out
-
-    """ TYPES """
-
-    def setup_types(self):
-        self.atom_start_index = 0
-        if self.use_bond:
-            self.bond_start_index = self.atom_start_index + self.num_atom_channels
+        return self._features_of([mol], out, **kwargs)
 
     def get_types(self, mol, out: np.ndarray | None = None, **kwargs) -> np.ndarray:
-        assert self.use_features is False
-        num_points = _mol_num_atoms(mol) + (_mol_num_bonds(mol) if self.use_bond else 0)
-        if out is None:
-            out = np.empty((num_points,), dtype=np.int32)
-        return self._get_types(mol, out, **kwargs)
-
-    def _get_types(self, mol, out: np.ndarray, **kwargs) -> np.ndarray:
-        num_atoms = _mol_num_atoms(mol)
-        atom_types = [self.atom_getter.get_type(a, **kwargs) + self.atom_start_index for a in _mol_atoms(mol)]
-        if num_atoms > 0:
-            out[:num_atoms] = atom_types
-        if self.use_bond:
-            bond_types = [self.bond_getter.get_type(b, **kwargs) + self.bond_start_index for b in _mol_bonds(mol)]
-            if bond_types:
-                out[num_atoms:] = bond_types
-        return out
-
-
-class _MolElementPointCloudMaker(MolPointCloudMaker):
-    """Maker whose channel block starts at a fixed offset within a system
-    (reference pointcloud.py:185-204)."""
-
-    def __init__(self, atom_getter, bond_getter, channel_type, start_index):
-        self.start_index = start_index
-        super().__init__(atom_getter, bond_getter, channel_type)
-
-    def setup_features(self):
-        self.atom_st = self.start_index
-        self.atom_end = self.atom_st + self.num_atom_channels
-        if self.use_bond:
-            self.bond_st = self.atom_end
-            self.bond_end = self.bond_st + self.num_bond_channels
-
-    def setup_types(self):
-        self.atom_start_index = self.start_index
-        if self.use_bond:
-            self.bond_start_index = self.atom_start_index + self.num_atom_channels
+        return self._types_of([mol], out, **kwargs)
 
     def num_points(self, mol) -> int:
-        return _mol_num_atoms(mol) + (_mol_num_bonds(mol) if self.use_bond else 0)
+        return self._points_of([mol])
 
 
-class MolSystemPointCloudMaker(PointCloudMaker):
+class MolSystemPointCloudMaker(_BlockTableMaker):
     """Concatenate several molecules into one cloud with disjoint channel
-    ranges (reference pointcloud.py:207-312)."""
+    ranges (reference pointcloud.py:207-312).
+
+    Accepts MolPointCloudMaker instances or (atom_getter, bond_getter) pairs;
+    molecule i's channels start where molecule i-1's end."""
 
     def __init__(self, *args, channel_type: str = "features"):
-        assert channel_type in ("features", "types"), (
-            f"channel_type(input: {channel_type}) should be 'features' or 'types'"
-        )
-        self.channel_type = channel_type
-        self.use_features = channel_type == "features"
-
-        self.maker_list: list[_MolElementPointCloudMaker] = []
-        channel_offset = 0
+        blocks: list[_Block] = []
         channels: list[str] = []
-        for arg in args:
-            if isinstance(arg, MolPointCloudMaker):
-                maker = _MolElementPointCloudMaker(arg.atom_getter, arg.bond_getter, channel_type, channel_offset)
-            else:
-                atom_getter, bond_getter = arg
-                maker = _MolElementPointCloudMaker(atom_getter, bond_getter, channel_type, channel_offset)
-            self.maker_list.append(maker)
-            channel_offset += maker.num_channels
-            channels += maker.channels
-        super().__init__(channels)
+        self.maker_list: list[MolPointCloudMaker] = []
+        for slot, arg in enumerate(args):
+            ag, bg = (arg.atom_getter, arg.bond_getter) if isinstance(arg, MolPointCloudMaker) else arg
+            element = MolPointCloudMaker(ag, bg, channel_type)
+            self.maker_list.append(element)
+            # rebase the element's (standalone, 0-offset) blocks into the
+            # system's molecule-slot and channel space
+            blocks.extend(
+                _Block(slot, b.source, b.getter, b.channel_lo + len(channels)) for b in element._blocks
+            )
+            channels += element.channels
+        super().__init__(blocks, channels, channel_type)
 
     def run(self, mol_list: list, **kwargs) -> tuple[np.ndarray, np.ndarray]:
-        coords = kwargs.pop("coords", None)
-        if coords is None:
-            coords = self.get_coords(mol_list)
-        channels = kwargs.pop("channels", None)
-        if channels is None:
-            channels = self.get_channels(mol_list, **kwargs)
-        return coords, channels
+        return self._run(list(mol_list), **kwargs)
 
     def get_coords(self, mol_list: list) -> np.ndarray:
-        coords_list = []
-        for mol, maker in zip(mol_list, self.maker_list):
-            atom_coords = _mol_coords(mol)
-            coords_list.append(atom_coords)
-            if maker.use_bond:
-                coords_list.append(_mol_bond_midpoints(mol, atom_coords))
-        return np.concatenate(coords_list, axis=0)
+        return self._coords_of(list(mol_list))
 
     def get_channels(self, mol_list: list, out: np.ndarray | None = None, **kwargs) -> np.ndarray:
-        if self.use_features:
-            return self.get_features(mol_list, out, **kwargs)
-        return self.get_types(mol_list, out, **kwargs)
-
-    def split_channel(self, image) -> list[dict[str, Any]]:
-        channel_offset = 0
-        result = []
-        for maker in self.maker_list:
-            sub = image[channel_offset : channel_offset + maker.num_channels]
-            result.append(maker.split_channel(sub))
-            channel_offset += maker.num_channels
-        return result
-
-    def _total_points(self, mol_list: list) -> int:
-        return sum(maker.num_points(mol) for mol, maker in zip(mol_list, self.maker_list))
+        return self._channels_of(list(mol_list), out, **kwargs)
 
     def get_features(self, mol_list: list, out: np.ndarray | None = None, **kwargs) -> np.ndarray:
-        if out is None:
-            out = np.zeros((self._total_points(mol_list), self.num_channels), dtype=np.float32)
-        else:
-            out.fill(0)
-        offset = 0
-        for mol, maker in zip(mol_list, self.maker_list):
-            n = maker.num_points(mol)
-            maker._get_features(mol, out[offset : offset + n], **kwargs)
-            offset += n
-        return out
+        return self._features_of(list(mol_list), out, **kwargs)
 
     def get_types(self, mol_list: list, out: np.ndarray | None = None, **kwargs) -> np.ndarray:
-        assert self.use_features is False
-        if out is None:
-            out = np.empty((self._total_points(mol_list),), dtype=np.int32)
-        offset = 0
-        for mol, maker in zip(mol_list, self.maker_list):
-            n = maker.num_points(mol)
-            maker._get_types(mol, out[offset : offset + n], **kwargs)
-            offset += n
-        return out
+        return self._types_of(list(mol_list), out, **kwargs)
+
+    def split_channel(self, image) -> list[dict[str, Any]]:
+        lo = 0
+        result = []
+        for element in self.maker_list:
+            result.append(element.split_channel(image[lo : lo + element.num_channels]))
+            lo += element.num_channels
+        return result
 
 
 class ComplexPointCloudMaker(MolSystemPointCloudMaker):

@@ -1,9 +1,11 @@
 """End-to-end wrappers: molecule(s) -> point cloud -> voxel image (-> .pse).
 
-Feature-parity with the reference wrapper layer
-(/root/reference/molvoxel/etc/rdkit/wrapper.py:12-217): a wrapper composes a
-PointCloudMaker (data/pointcloud.py), a Voxelizer (api/voxelizer.py) and an
-optional Visualizer (viz/pymol_session.py).
+Public API matches the reference wrapper layer
+(/root/reference/molvoxel/etc/rdkit/wrapper.py:12-217) — class names, run()
+signatures, radii-list semantics — with re-designed internals: one shared
+``_voxelize`` engine handles the asarray/forward plumbing for every wrapper,
+and per-molecule radii lists expand through ``np.repeat`` over block point
+counts instead of Python list building.
 """
 
 from __future__ import annotations
@@ -21,6 +23,8 @@ from .pointcloud import (
 
 
 class MolWrapper:
+    """Single-molecule pipeline: maker -> voxelizer (-> visualizer)."""
+
     def __init__(self, pointcloudmaker: MolPointCloudMaker, voxelizer, visualizer: Any | None = None):
         self.maker = pointcloudmaker
         self.voxelizer = voxelizer
@@ -29,6 +33,26 @@ class MolWrapper:
         self.channel_type = self.maker.channel_type
         self.grid_dimension = self.voxelizer.grid_dimension(self.num_channels)
         self.resolution = self.voxelizer.resolution
+
+    # -- shared engine -------------------------------------------------------
+
+    def _voxelize(self, coords, channels, radii, center, random_translation, random_rotation,
+                  out_grid, key):
+        if out_grid is not None:
+            assert np.shape(out_grid) == self.grid_dimension
+        vox = self.voxelizer
+        return vox.forward(
+            vox.asarray(coords, "coords"),
+            None if center is None else vox.asarray(center, "center"),
+            vox.asarray(channels, self.channel_type),
+            radii if np.isscalar(radii) else vox.asarray(radii, "radii"),
+            random_translation,
+            random_rotation,
+            out_grid,
+            key=key,
+        )
+
+    # -- public surface ------------------------------------------------------
 
     def run(
         self,
@@ -42,16 +66,8 @@ class MolWrapper:
         **kwargs,
     ):
         coords, channels = self.maker.run(mol, **kwargs)
-        if out_grid is not None:
-            assert np.shape(out_grid) == self.grid_dimension
-
-        voxelizer = self.voxelizer
-        coords = voxelizer.asarray(coords, "coords")
-        center = voxelizer.asarray(center, "center") if center is not None else None
-        channels = voxelizer.asarray(channels, self.channel_type)
-        radii = radii if np.isscalar(radii) else voxelizer.asarray(radii, "radii")
-        return voxelizer.forward(coords, center, channels, radii, random_translation, random_rotation, out_grid,
-                                 key=key)
+        return self._voxelize(coords, channels, radii, center, random_translation, random_rotation,
+                              out_grid, key)
 
     __call__ = run
 
@@ -76,6 +92,8 @@ class MolWrapper:
 
 
 class MolSystemWrapper(MolWrapper):
+    """Multi-molecule pipeline over a MolSystemPointCloudMaker."""
+
     def __init__(
         self,
         pointcloudmaker: MolSystemPointCloudMaker,
@@ -85,6 +103,23 @@ class MolSystemWrapper(MolWrapper):
     ):
         super().__init__(pointcloudmaker, voxelizer, visualizer)
         self.name_list = name_list
+
+    def _expand_radii(self, radii, mol_list):
+        """Per-molecule radii list -> one flat per-point array.
+
+        Reference semantics (wrapper.py:105-114): with atom-wise radii each
+        list entry is a scalar repeated over that molecule's points; with
+        channel-wise radii the per-molecule vectors concatenate."""
+        if not isinstance(radii, list):
+            return radii
+        vox = self.voxelizer
+        if vox.is_radii_type_atom_wise:
+            assert len(radii) == len(mol_list)
+            counts = [elem.num_points(mol) for mol, elem in zip(mol_list, self.maker.maker_list)]
+            return np.repeat(np.asarray(radii, np.float32), counts)
+        if vox.is_radii_type_channel_wise:
+            return np.concatenate([np.asarray(r, np.float32).reshape(-1) for r in radii])
+        return radii
 
     def run(
         self,
@@ -98,30 +133,9 @@ class MolSystemWrapper(MolWrapper):
         **kwargs,
     ):
         coords, channels = self.maker.run(mol_list, **kwargs)
-        if out_grid is not None:
-            assert np.shape(out_grid) == self.grid_dimension
-
-        voxelizer = self.voxelizer
-        # per-molecule radii lists expand to per-atom / concatenated arrays
-        # (reference wrapper.py:105-114)
-        if voxelizer.is_radii_type_scalar:
-            pass
-        elif voxelizer.is_radii_type_atom_wise:
-            if isinstance(radii, list):
-                assert len(radii) == len(mol_list)
-                radii_list = [[r] * _num_points(mol, maker) for r, mol, maker in
-                              zip(radii, mol_list, self.maker.maker_list)]
-                radii = np.concatenate([np.asarray(rl, np.float32) for rl in radii_list])
-        else:
-            if isinstance(radii, list):
-                radii = np.concatenate([np.asarray(r, np.float32).reshape(-1) for r in radii])
-
-        coords = voxelizer.asarray(coords, "coords")
-        center = voxelizer.asarray(center, "center") if center is not None else None
-        channels = voxelizer.asarray(channels, self.maker.channel_type)
-        radii = radii if np.isscalar(radii) else voxelizer.asarray(radii, "radii")
-        return voxelizer.forward(coords, center, channels, radii, random_translation, random_rotation, out_grid,
-                                 key=key)
+        radii = self._expand_radii(radii, mol_list)
+        return self._voxelize(coords, channels, radii, center, random_translation, random_rotation,
+                              out_grid, key)
 
     __call__ = run
 
@@ -131,22 +145,14 @@ class MolSystemWrapper(MolWrapper):
         channel_dict_list = self.split_channel(image)
         if center is None:
             center = self.voxelizer.asarray([0, 0, 0], "center")
+        new_coords_list = None
         if new_coords is not None:
-            new_coords_list = []
-            offset = 0
-            for mol in mol_list:
-                n = _mol_num_atoms(mol)
-                new_coords_list.append(new_coords[offset : offset + n])
-                offset += n
-        else:
-            new_coords_list = None
+            sizes = [_mol_num_atoms(mol) for mol in mol_list]
+            cuts = np.cumsum([0] + sizes)
+            new_coords_list = [new_coords[lo:hi] for lo, hi in zip(cuts[:-1], cuts[1:])]
         return self.visualizer.visualize_system(
             pse_path, mol_list, self.name_list, channel_dict_list, center, self.resolution, new_coords_list
         )
-
-
-def _num_points(mol, maker) -> int:
-    return maker.num_points(mol)
 
 
 class ComplexWrapper(MolSystemWrapper):

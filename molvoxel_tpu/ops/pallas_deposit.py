@@ -396,7 +396,15 @@ def _kernel_gaussian_v4(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, dz2_re
         dy2 = dy2_ref[0]  # (hrows, A)
         dz2 = dz2_ref[0]  # (W, A)
         dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
-        eyz = jnp.exp(dyz2 * coef_ref[0])  # (HWt, A) * (1, A)
+        # exp(coef*dyz2) built as exp(coef*dy2) (X) exp(coef*dz2): the
+        # transcendental runs over (hrows + W, A) vectors instead of the full
+        # (HWt, A) tile — ~12x fewer exps, the dominant per-pair VPU cost at
+        # protein scale (exp(a)*exp(b) vs exp(a+b) differs ~1e-7 relative,
+        # inside the golden budget; the cutoff compare below is unchanged).
+        coef = coef_ref[0]
+        ey = jnp.exp(dy2 * coef)  # (hrows, A)
+        ez = jnp.exp(dz2 * coef)  # (W, A)
+        eyz = (ey[:, None, :] * ez[None, :, :]).reshape(hwt, a)
         wt = wt_ref[0]
 
         def body(d, carry):
@@ -446,10 +454,17 @@ def _kernel_gaussian_v4_cast(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, d
         dy2 = dy2_ref[0]
         dz2 = dz2_ref[0]
         dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
-        eyz = jnp.exp(dyz2 * coef_ref[0])
-        wt = wt_ref[0]
+        # separable in-kernel exp — see _kernel_gaussian_v4.  lowp casts the
+        # small per-axis vectors, so the (HWt, A) outer product runs packed
+        # bf16 and no full-tile cast exists.
+        coef = coef_ref[0]
+        ey = jnp.exp(dy2 * coef)
+        ez = jnp.exp(dz2 * coef)
         if lowp:
-            eyz = eyz.astype(jnp.bfloat16)
+            ey = ey.astype(jnp.bfloat16)
+            ez = ez.astype(jnp.bfloat16)
+        eyz = (ey[:, None, :] * ez[None, :, :]).reshape(hwt, a)
+        wt = wt_ref[0]
 
         def body(d, carry):
             off = pl.multiple_of(d * a, 128)
