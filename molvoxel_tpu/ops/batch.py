@@ -34,6 +34,7 @@ from .voxelize import default_batch_impl
         "d_count",
         "materialize",
         "out_dtype",
+        "presorted",
     ),
 )
 def voxelize_batch(
@@ -56,6 +57,7 @@ def voxelize_batch(
     d_count: int | None = None,
     materialize: bool = False,
     out_dtype: str = "float32",
+    presorted: bool = False,
 ) -> jnp.ndarray:
     """Voxelize a padded batch of point clouds.
 
@@ -73,6 +75,9 @@ def voxelize_batch(
       out_dtype: "float32" (parity default) or "bfloat16" — bf16 halves the
         grid bytes written to HBM, the measured wall of both hot paths, and
         is the natural CNN-training input dtype.  Accumulation stays f32.
+      presorted: atoms already arrive in spatially-local (Morton) order —
+        e.g. the data pipeline sorted them once on the host
+        (data/pipeline.py) — so no in-graph sort is needed.
 
     Returns:
       (B, C, Dl, H, W) of ``out_dtype``.
@@ -84,6 +89,30 @@ def voxelize_batch(
 
     if centers is not None:
         coords = coords - centers[:, None, :].astype(coords.dtype)
+
+    # Spatial sort BEFORE the random transform: rigid transforms preserve
+    # locality, so the Morton order computed from the un-augmented coords
+    # keeps the kernel's 128-lane chunks compact for every augmented sample.
+    # Sorting here (instead of inside the kernel wrapper, post-transform)
+    # makes the argsort loop-invariant in augmentation loops and lets real
+    # pipelines skip it entirely via host-side pre-sorting (``presorted``) —
+    # the device argsort was ~200 us/mol of the 367 us/mol protein path
+    # (benchmarks/experiments/protein_probe3.py).
+    if (
+        impl == "pallas"
+        and density_type != "gaussian_notrunc"
+        and not channelwise
+        and coords.shape[1] > 128
+        and not presorted
+    ):
+        from .pallas_deposit import _sort_atoms_spatially
+
+        r_atoms = radii if radii.ndim == 2 else jnp.broadcast_to(
+            jnp.asarray(radii, jnp.float32)[None, :], coords.shape[:2]
+        )
+        coords, weights, radii, mask = _sort_atoms_spatially(coords, weights, r_atoms, mask, spec, 0)
+        presorted = True
+
     coords = jax.vmap(lambda k, crd: do_random_transform(k, crd, None, rt, random_rotation))(keys, coords)
 
     if density_type == "gaussian_notrunc":
@@ -108,6 +137,7 @@ def voxelize_batch(
             # channelwise kernel keeps f32 out blocks (cold path); XLA epilogue cast
             out = voxelize_pallas_batch_channelwise(coords, weights, radii, **kw_nodtype(kw))
             return out if out_dtype == "float32" else out.astype(out_dtype)
+        kw["presorted"] = presorted
         pack = _choose_pack(coords.shape[1], weights.shape[2])
         if pack > 1:
             fn = functools.partial(voxelize_pallas_batch, **kw_nomask(kw))

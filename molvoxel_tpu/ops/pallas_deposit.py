@@ -126,26 +126,49 @@ def _tiles(vp: int, cp: int, dl: int, hwp: int, streams: int):
     return ct, a, hwt
 
 
-def _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset):
-    """Reorder atoms by (x-slab, y, z) cell so 128-lane chunks are spatially
-    local.
+def morton_keys(coords, spec, mask=None, bits: int = 5):
+    """(B, Vp) int32 Morton (Z-order) cell keys for spatial atom sorting.
 
-    Deposition is permutation-invariant, but the skip flags test whole
-    atom chunks: with arbitrary atom order a chunk of a protein spans the
-    entire box and every (chunk, tile, plane) is flagged active.  Lexicographic
-    cell sort makes chunks ~slab-local, so flags prune the vast majority of
-    the V x N work (the useful pairs are ~0.1% for protein-scale inputs).
-    Padded atoms sort to the end (key = +inf-ish).
+    Morton order makes 128-lane chunks compact in *all three* axes (the
+    earlier lexicographic (x, y, z) key gave slab-shaped chunks — thin in x
+    but spanning the full box in y — whose depth ranges blew up whenever a
+    random rotation mapped the extended direction onto the depth axis).
+    Compactness is preserved by rigid transforms, which is what lets the
+    sort run *before* the random rotation/translation: once per molecule,
+    on the host or hoisted out of augmentation loops, instead of once per
+    augmented sample.  Padded atoms key to +inf-ish so they sort last.
     """
-    b, vp, _ = coords.shape
-    bits = 5
     cells = (1 << bits) - 1
     lb = jnp.asarray(spec.lower_bound, jnp.float32)
     scale = cells / jnp.asarray(max(spec.width, 1e-6), jnp.float32)
     cell = jnp.clip(((coords - lb) * scale), 0, cells).astype(jnp.int32)  # (B, Vp, 3)
-    key = (cell[..., 0] << (2 * bits)) | (cell[..., 1] << bits) | cell[..., 2]
+    key = jnp.zeros(coords.shape[:-1], jnp.int32)
+    for i in range(bits):  # interleave: x bits most significant
+        key = (
+            key
+            | (((cell[..., 0] >> i) & 1) << (3 * i + 2))
+            | (((cell[..., 1] >> i) & 1) << (3 * i + 1))
+            | (((cell[..., 2] >> i) & 1) << (3 * i))
+        )
     if mask is not None:
         key = jnp.where(mask, key, jnp.int32(1 << 30))
+    return key
+
+
+def _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset):
+    """Reorder atoms along a Morton curve so 128-lane chunks are spatially
+    local.
+
+    Deposition is permutation-invariant, but the plane ranges test whole
+    atom chunks: with arbitrary atom order a chunk of a protein spans the
+    entire box and every (chunk, tile, plane) is active.  The Morton cell
+    sort makes chunks ~cubical-local, so ranges prune the vast majority of
+    the V x N work (the useful pairs are ~0.1% for protein-scale inputs).
+    This is the TPU analog of the reference's host-side block binning
+    (/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:496-527) without
+    its half-voxel boundary bug.
+    """
+    key = morton_keys(coords, spec, mask)
     order = jnp.argsort(key, axis=1)  # (B, Vp)
     take = lambda arr: jnp.take_along_axis(arr, order[..., None], axis=1) if arr.ndim == 3 else jnp.take_along_axis(arr, order, axis=1)
     coords = take(coords)
@@ -371,204 +394,157 @@ def _row_tile(hw: int, w: int, target: int = 1024) -> int | None:
     return best
 
 
-def _kernel_gaussian_v4(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, dz2_ref, wt_ref, o_ref, *,
-                        dl: int, a: int, ct: int, hwt: int, hrows: int):
-    """v4: dyz2/eyz rebuilt in-kernel from per-axis factors; depth loop runs
-    only the precomputed active plane range.
+def _kernel_v5(range_ref, atom_ref, wt_ref, o_ref, acc_ref=None, *,
+               gaussian: bool, dl: int, a: int, ct: int, hwt: int, hrows: int, dim: int,
+               res: float, half_width: float, nvc: int, out_dtype=None, lowp: bool = False):
+    """v5: the kernel's only array inputs are per-atom rows.
 
-    HBM traffic per (tile, chunk) drops from O(HWt*A) streamed matrices to
-    O((hrows + W + Dl) * A) vectors; the exp runs once per tile on the VPU
-    (it is plane-independent).  The set of planes an atom chunk reaches is a
-    contiguous interval in d (thresh is a downward parabola), so instead of
-    per-plane flags the kernel loops [d_lo, d_hi) and skips everything —
-    including the dyz2/eyz construction — when the interval is empty."""
+    Everything the v4 kernel streamed from HBM — dy2/dz2 axis factors, the
+    (Dl*A) thresh/ex chunk rows — is rebuilt in-kernel from five (1, A)
+    per-atom rows [x', y, z, r^2, coef] and iota-derived voxel positions
+    (bit-identical arithmetic to the XLA axis construction: idx*res - w/2 in
+    f32).  Per (tile, chunk) step that cuts input DMA from O((Dl + H + W)*A)
+    to O(A) and deletes the XLA-side prep arrays entirely — measured, the
+    per-call prep (argsort relayouts + reach tensor) dominated the
+    protein-path floor (benchmarks/experiments/protein_probe3.py).
+
+    Depth handling: x' is pre-shifted by d_offset*res, so plane d's position
+    is always d*res - width/2; the cutoff becomes dyz2 <= r^2 - dx^2 with
+    dx = (d*res - w/2) - x', computed per active plane as (1, A) vectors
+    (the exp over (1, A) replaces a 24 KB DMA).  The active range [d_lo,
+    d_hi) comes precomputed in SMEM (closed form, _plane_ranges_closed).
+
+    Output: with ``acc_ref`` (cast mode) accumulation runs in an f32 VMEM
+    scratch and ONE aligned full-tile cast-store lands at the last atom
+    chunk — never a dynamic sublane store on a narrow ref (the documented
+    Mosaic crash).  ``lowp`` runs the per-plane matmul on bf16 inputs
+    (single MXU pass; quantization floor already 2^-8 with a bf16 output).
+    Without ``acc_ref`` the f32 out block is accumulated directly (RMW
+    stores are legal on f32) for bit-parity grids."""
     vc = pl.program_id(3)
+    ht = pl.program_id(2)
+    cast = acc_ref is not None
 
     @pl.when(vc == 0)
     def _():
-        o_ref[0] = jnp.zeros((ct, dl, hwt), jnp.float32)
+        if cast:
+            acc_ref[...] = jnp.zeros((ct, dl, hwt), jnp.float32)
+        else:
+            o_ref[0] = jnp.zeros((ct, dl, hwt), jnp.float32)
 
     d_lo = range_ref[0, 0, 0]
     d_hi = range_ref[0, 0, 1]
 
     @pl.when(d_hi > d_lo)
     def _():
-        dy2 = dy2_ref[0]  # (hrows, A)
-        dz2 = dz2_ref[0]  # (W, A)
+        x = atom_ref[0, 0:1, :]  # (1, A), pre-shifted by d_offset*res
+        y = atom_ref[0, 1:2, :]
+        z = atom_ref[0, 2:3, :]
+        r2 = atom_ref[0, 3:4, :]
+        # tpu.iota is integer-only; index arithmetic in int32, then one cast
+        ay = (jax.lax.broadcasted_iota(jnp.int32, (hrows, 1), 0) + ht * hrows).astype(jnp.float32) * res - half_width
+        az = jax.lax.broadcasted_iota(jnp.int32, (dim, 1), 0).astype(jnp.float32) * res - half_width
+        dy2 = (ay - y) * (ay - y)  # (hrows, A)
+        dz2 = (az - z) * (az - z)  # (W, A)
         dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
-        # exp(coef*dyz2) built as exp(coef*dy2) (X) exp(coef*dz2): the
-        # transcendental runs over (hrows + W, A) vectors instead of the full
-        # (HWt, A) tile — ~12x fewer exps, the dominant per-pair VPU cost at
-        # protein scale (exp(a)*exp(b) vs exp(a+b) differs ~1e-7 relative,
-        # inside the golden budget; the cutoff compare below is unchanged).
-        coef = coef_ref[0]
-        ey = jnp.exp(dy2 * coef)  # (hrows, A)
-        ez = jnp.exp(dz2 * coef)  # (W, A)
-        eyz = (ey[:, None, :] * ez[None, :, :]).reshape(hwt, a)
         wt = wt_ref[0]
-
-        def body(d, carry):
-            off = pl.multiple_of(d * a, 128)
-            th = thresh_ref[0, 0:1, pl.ds(off, a)]
-            exr = ex_ref[0, 0:1, pl.ds(off, a)]
-            dens = jnp.where(dyz2 <= th, eyz, 0.0)
-            acc = jax.lax.dot_general(
-                wt * exr, dens, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
-            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
-            return carry
-
-        jax.lax.fori_loop(d_lo, d_hi, body, 0)
-
-
-def _kernel_gaussian_v4_cast(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, dz2_ref, wt_ref,
-                             o_ref, acc_ref, *, dl: int, a: int, ct: int, hwt: int, hrows: int,
-                             nvc: int, out_dtype, lowp: bool):
-    """v4 with a reduced-precision output tile (the write-wall breaker).
-
-    The exact ligand path is bound by the out-block VMEM->HBM copy
-    (~160 GB/s on this chip; 4.19 MB of f32 grid = 21.3 us/mol floor,
-    docs/DESIGN.md).  Accumulation moves to an f32 VMEM scratch — same
-    per-plane RMW stores as the f32 kernel, which are legal on f32 — and the
-    *out block* becomes bf16, emitted as ONE aligned full-tile cast-store at
-    the last atom chunk.  No dynamic-slice store ever touches the bf16 ref
-    (1-wide sublane stores on bf16 blocks crash the Mosaic compiler).
-
-    ``lowp`` additionally runs the per-plane matmul on bf16 inputs (single
-    MXU pass vs HIGHEST's 6): with a bf16 output the quantization floor is
-    already 2^-8 relative, so the f32-accumulated bf16 matmul (~same error)
-    is free accuracy-wise and removes the compute term that would otherwise
-    replace the write as the bottleneck."""
-    vc = pl.program_id(3)
-
-    @pl.when(vc == 0)
-    def _():
-        acc_ref[...] = jnp.zeros((ct, dl, hwt), jnp.float32)
-
-    d_lo = range_ref[0, 0, 0]
-    d_hi = range_ref[0, 0, 1]
-
-    @pl.when(d_hi > d_lo)
-    def _():
-        dy2 = dy2_ref[0]
-        dz2 = dz2_ref[0]
-        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
-        # separable in-kernel exp — see _kernel_gaussian_v4.  lowp casts the
-        # small per-axis vectors, so the (HWt, A) outer product runs packed
-        # bf16 and no full-tile cast exists.
-        coef = coef_ref[0]
-        ey = jnp.exp(dy2 * coef)
-        ez = jnp.exp(dz2 * coef)
-        if lowp:
-            ey = ey.astype(jnp.bfloat16)
-            ez = ez.astype(jnp.bfloat16)
-        eyz = (ey[:, None, :] * ez[None, :, :]).reshape(hwt, a)
-        wt = wt_ref[0]
-
-        def body(d, carry):
-            off = pl.multiple_of(d * a, 128)
-            th = thresh_ref[0, 0:1, pl.ds(off, a)]
-            exr = ex_ref[0, 0:1, pl.ds(off, a)]
+        if gaussian:
+            # exp(coef*dyz2) as exp(coef*dy2) (X) exp(coef*dz2): transcendentals
+            # over (hrows + W, A) vectors, not the (HWt, A) tile (~12x fewer;
+            # exp(a)*exp(b) vs exp(a+b) differs ~1e-7 relative, inside the
+            # golden budget; the cutoff compare below is exact either way).
+            coef = atom_ref[0, 4:5, :]
+            ey = jnp.exp(dy2 * coef)
+            ez = jnp.exp(dz2 * coef)
             if lowp:
-                dens = jnp.where(dyz2 <= th, eyz, jnp.bfloat16(0.0))
-                m = (wt * exr).astype(jnp.bfloat16)
+                ey = ey.astype(jnp.bfloat16)
+                ez = ez.astype(jnp.bfloat16)
+            eyz = (ey[:, None, :] * ez[None, :, :]).reshape(hwt, a)
+        elif lowp:
+            wt = wt.astype(jnp.bfloat16)
+
+        def body(d, carry):
+            dxv = (d.astype(jnp.float32) * res - half_width) - x  # (1, A)
+            dx2v = dxv * dxv
+            th = r2 - dx2v
+            if gaussian:
+                m = wt * jnp.exp(dx2v * coef)
+                if lowp:
+                    dens = jnp.where(dyz2 <= th, eyz, jnp.bfloat16(0.0))
+                    m = m.astype(jnp.bfloat16)
+                else:
+                    dens = jnp.where(dyz2 <= th, eyz, 0.0)
+            else:
+                m = wt
+                one = jnp.bfloat16(1.0) if lowp else 1.0
+                dens = jnp.where(dyz2 <= th, one, one * 0)
+            if lowp:
                 acc = jax.lax.dot_general(
                     m, dens, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             else:
-                dens = jnp.where(dyz2 <= th, eyz, 0.0)
                 acc = jax.lax.dot_general(
-                    wt * exr, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                    m, dens, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
                 )
-            acc_ref[:, pl.ds(d, 1), :] += acc[:, None, :]
-            return carry
-
-        jax.lax.fori_loop(d_lo, d_hi, body, 0)
-
-    @pl.when(vc == nvc - 1)
-    def _():
-        o_ref[0] = acc_ref[...].astype(out_dtype)
-
-
-def _kernel_binary_v4_cast(range_ref, thresh_ref, dy2_ref, dz2_ref, wt_ref, o_ref, acc_ref, *,
-                           dl: int, a: int, ct: int, hwt: int, hrows: int, nvc: int,
-                           out_dtype, lowp: bool):
-    vc = pl.program_id(3)
-
-    @pl.when(vc == 0)
-    def _():
-        acc_ref[...] = jnp.zeros((ct, dl, hwt), jnp.float32)
-
-    d_lo = range_ref[0, 0, 0]
-    d_hi = range_ref[0, 0, 1]
-
-    @pl.when(d_hi > d_lo)
-    def _():
-        dy2 = dy2_ref[0]
-        dz2 = dz2_ref[0]
-        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
-        wt = wt_ref[0]
-        if lowp:
-            wt = wt.astype(jnp.bfloat16)
-
-        def body(d, carry):
-            off = pl.multiple_of(d * a, 128)
-            th = thresh_ref[0, 0:1, pl.ds(off, a)]
-            if lowp:
-                dens = jnp.where(dyz2 <= th, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
-                acc = jax.lax.dot_general(
-                    wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            if cast:
+                acc_ref[:, pl.ds(d, 1), :] += acc[:, None, :]
             else:
-                dens = jnp.where(dyz2 <= th, 1.0, 0.0)
-                acc = jax.lax.dot_general(
-                    wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-                )
-            acc_ref[:, pl.ds(d, 1), :] += acc[:, None, :]
+                o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
             return carry
 
         jax.lax.fori_loop(d_lo, d_hi, body, 0)
 
-    @pl.when(vc == nvc - 1)
-    def _():
-        o_ref[0] = acc_ref[...].astype(out_dtype)
+    if cast:
+        @pl.when(vc == nvc - 1)
+        def _():
+            o_ref[0] = acc_ref[...].astype(out_dtype)
 
 
-def _kernel_binary_v4(range_ref, thresh_ref, dy2_ref, dz2_ref, wt_ref, o_ref, *,
-                      dl: int, a: int, ct: int, hwt: int, hrows: int):
-    vc = pl.program_id(3)
+def _plane_ranges_closed(coords_shifted, r2, spec, dl, nhwt, hrows, a):
+    """(B*nhwt*nvc, 1, 2) int32 [d_lo, d_hi) active plane ranges, closed form.
 
-    @pl.when(vc == 0)
-    def _():
-        o_ref[0] = jnp.zeros((ct, dl, hwt), jnp.float32)
+    Replaces the O(B*nhwt*Dl*Vp) boolean reach tensor (_plane_ranges_axes)
+    with O(B*nhwt*Vp) elementwise work: the minimum squared yz-distance from
+    an atom to an hw tile is distance-to-interval (continuous, i.e. a
+    conservative lower bound on the discrete voxel-center minimum), and the
+    depth planes an atom reaches solve |x - d*res + w/2| <= sqrt(r^2 - min)
+    directly.  A couple of ulps of slack widen the interval so float rounding
+    can only ever *add* a plane — the kernel's per-element cutoff compare is
+    exact, so conservative ranges cost at most one masked matmul.
 
-    d_lo = range_ref[0, 0, 0]
-    d_hi = range_ref[0, 0, 1]
-
-    @pl.when(d_hi > d_lo)
-    def _():
-        dy2 = dy2_ref[0]
-        dz2 = dz2_ref[0]
-        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
-        wt = wt_ref[0]
-
-        def body(d, carry):
-            off = pl.multiple_of(d * a, 128)
-            th = thresh_ref[0, 0:1, pl.ds(off, a)]
-            dens = jnp.where(dyz2 <= th, 1.0, 0.0)
-            acc = jax.lax.dot_general(
-                wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
-            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
-            return carry
-
-        jax.lax.fori_loop(d_lo, d_hi, body, 0)
+    ``coords_shifted``: (B, Vp, 3) with x pre-shifted by d_offset*res (the
+    same rows the kernel sees); ``r2``: (B, Vp) with padded/masked atoms
+    already forced to tiny reach (their coords sit ~1e3 off-box, so the
+    interval is empty regardless).
+    """
+    b, vp, _ = coords_shifted.shape
+    res = float(spec.resolution)
+    lb = float(spec.lower_bound)
+    ub = float(spec.upper_bound)
+    x = coords_shifted[..., 0]
+    y = coords_shifted[..., 1]
+    z = coords_shifted[..., 2]
+    h_lo = lb + (jnp.arange(nhwt, dtype=jnp.float32) * hrows) * res  # (nhwt,)
+    h_hi = h_lo + (hrows - 1) * res
+    dy = jnp.maximum(jnp.maximum(h_lo[None, :, None] - y[:, None, :], y[:, None, :] - h_hi[None, :, None]), 0.0)
+    dz = jnp.maximum(jnp.maximum(lb - z, z - ub), 0.0)  # (B, Vp)
+    min_dyz2 = dy * dy + (dz * dz)[:, None, :]  # (B, nhwt, Vp)
+    s2 = r2[:, None, :] - min_dyz2
+    s = jnp.sqrt(jnp.maximum(s2, 0.0)) * 1.000002 + 1e-6  # ulp slack: conservative only
+    lo = jnp.ceil((x[:, None, :] - s - lb) / res)
+    hi = jnp.floor((x[:, None, :] + s - lb) / res) + 1.0
+    lo = jnp.clip(lo, 0.0, float(dl))
+    hi = jnp.clip(hi, 0.0, float(dl))
+    empty = s2 < 0.0
+    lo = jnp.where(empty, float(dl), lo).astype(jnp.int32)
+    hi = jnp.where(empty, 0.0, hi).astype(jnp.int32)
+    nvc = vp // a
+    lo = lo.reshape(b, nhwt, nvc, a).min(axis=3)
+    hi = hi.reshape(b, nhwt, nvc, a).max(axis=3)
+    hi = jnp.maximum(hi, lo)  # normalize all-empty chunks to d_hi == d_lo
+    return jnp.stack([lo, hi], axis=-1).reshape(b * nhwt * nvc, 1, 2)
 
 
 def _plane_ranges_axes(dy2_t, dz2_t, thresh, hwt, a):
@@ -621,7 +597,9 @@ def _skip_flags3(dyz2_t, thresh, hwt, a):
     return jnp.swapaxes(flags, 2, 3).reshape(b * nhwt * nvc, 1, dl).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count", "out_dtype", "presorted")
+)
 def voxelize_pallas_batch(
     coords: jnp.ndarray,  # (B, Vp, 3)
     weights: jnp.ndarray,  # (B, Vp, C)
@@ -634,14 +612,20 @@ def voxelize_pallas_batch(
     d_offset=0,
     d_count: int | None = None,
     out_dtype: str = "float32",
+    presorted: bool = False,
 ) -> jnp.ndarray:
     """Batched fused deposit -> (B, C, Dl, H, W).  Per-atom radii.
 
     ``out_dtype``: "float32" (parity default) or "bfloat16".  bf16 grids halve
     the output-write bytes — the measured wall of the exact ligand path (see
-    _kernel_gaussian_v4_cast) — and are the natural input dtype for CNN
-    training consumers; accumulation stays f32 in VMEM, only the final HBM
-    tile is cast."""
+    _kernel_v5) — and are the natural input dtype for CNN training consumers;
+    accumulation stays f32 in VMEM, only the final HBM tile is cast.
+
+    ``presorted``: atoms already arrive in spatially-local order (Morton; the
+    data pipeline sorts once per molecule on the host, or voxelize_batch
+    sorts pre-transform).  Skips the in-graph argsort, which is a bitonic
+    network on TPU and was the single largest term of the protein-path cost
+    (~200 us/mol of 367, benchmarks/experiments/protein_probe3.py)."""
     gaussian = density_type == "gaussian"
     b, vp, c = weights.shape
     radii = jnp.asarray(radii, jnp.float32)
@@ -659,7 +643,7 @@ def voxelize_pallas_batch(
         if mask is not None:
             mask = jnp.pad(mask, ((0, 0), (0, vpad)))
         vp += vpad
-    if vp > 128:
+    if vp > 128 and not presorted:
         coords, weights, radii, mask = _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset)
     dim = spec.dimension
     dl_eff = dim if d_count is None else d_count
@@ -667,7 +651,7 @@ def voxelize_pallas_batch(
     if hwt_rows is not None and 8 * dl_eff * hwt_rows * 4 > _OUT_BUDGET:
         hwt_rows = None  # whole-row tile can't fit VMEM (e.g. unsliced 256^3): stream tiles instead
     if hwt_rows is not None:
-        return _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt_rows,
+        return _run_v5(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt_rows,
                        out_dtype=out_dtype)
     # fallback for grids whose H*W is not 128-aligned: streamed dyz2/eyz tiles
     dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
@@ -727,16 +711,36 @@ def voxelize_pallas_batch(
     return out if out_dtype == "float32" else out.astype(out_dtype)
 
 
-def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt,
+def _run_v5(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt,
             out_dtype: str = "float32"):
-    """v4 launch: per-axis inputs only, dyz2/eyz rebuilt in-kernel."""
-    dx2, dy2_t, dz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_axes(
-        coords, weights, mask, spec, d_offset, d_count
-    )
+    """v5 launch: per-atom rows only; axis factors rebuilt in-kernel.
+
+    XLA-side prep is O(V): shift x by the depth slab, transpose weights,
+    stack five per-atom rows into one (B, 8, Vp) block, closed-form ranges.
+    No O(Dl*Vp) or O(H*Vp) arrays exist anywhere (see _kernel_v5)."""
+    b, vp, c = weights.shape
+    dim = spec.dimension
+    dl = dim if d_count is None else d_count
+    hw = dim * dim
+    cp = round_up(max(c, 1), 8)
+    res = float(spec.resolution)
+    half_width = float(spec.width / 2.0)
+
+    wt = jnp.swapaxes(weights, 1, 2).astype(jnp.float32)  # (B, Cp, Vp)
+    if mask is not None:
+        wt = jnp.where(mask[:, None, :], wt, 0.0)
+    if cp != c:
+        wt = jnp.pad(wt, ((0, 0), (0, cp - c), (0, 0)))
+
     r2 = radii * radii
     if mask is not None:
         r2 = jnp.where(mask, r2, 1.0)
-    thresh = r2[:, None, :] - dx2  # (B, Dl, Vp)
+    xs = coords[..., 0] - jnp.asarray(d_offset, jnp.float32) * res  # slab-shifted x
+    zero = jnp.zeros_like(r2)
+    coef = -(0.5 / (sigma * sigma)) / r2 if gaussian else zero
+    atom_rows = jnp.stack(
+        [xs, coords[..., 1], coords[..., 2], r2, coef, zero, zero, zero], axis=1
+    )  # (B, 8, Vp)
 
     cast = out_dtype != "float32"
     odt = jnp.dtype(out_dtype)
@@ -750,67 +754,36 @@ def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_cou
     hrows = hwt // dim
     grid = (b, cp // ct, nhwt, nvc)
 
-    ranges = _plane_ranges_axes(dy2_t, dz2_t, thresh, hwt, a)  # (B*nhwt*nvc, 1, 2)
-    thresh_rows = _chunk_rows(thresh, a)  # (B*nvc, 1, Dl*A)
+    coords_shifted = jnp.stack([xs, coords[..., 1], coords[..., 2]], axis=-1)
+    ranges = _plane_ranges_closed(coords_shifted, r2, spec, dl, nhwt, hrows, a)
     range_spec = pl.BlockSpec(
         (1, 1, 2), lambda bb, cb, ht, vc: ((bb * nhwt + ht) * nvc + vc, 0, 0), memory_space=pltpu.SMEM
     )
-    row_spec = pl.BlockSpec((1, 1, dl * a), lambda bb, cb, ht, vc: (bb * nvc + vc, 0, 0), memory_space=pltpu.VMEM)
-    dy2_spec = pl.BlockSpec((1, hrows, a), lambda bb, cb, ht, vc: (bb, ht, vc), memory_space=pltpu.VMEM)
-    dz2_spec = pl.BlockSpec((1, dim, a), lambda bb, cb, ht, vc: (bb, 0, vc), memory_space=pltpu.VMEM)
+    atom_spec = pl.BlockSpec((1, 8, a), lambda bb, cb, ht, vc: (bb, 0, vc), memory_space=pltpu.VMEM)
     wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht, vc: (bb, cb, vc), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht, vc: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * b * cp * vp * dl * hw + 2 * b * vp * dl * hw,
-        bytes_accessed=b * vp * (dim * 2 + dl) * 4 + b * cp * dl * hw * 4,
+        bytes_accessed=b * vp * 8 * 4 + b * cp * dl * hw * odt.itemsize,
         transcendentals=b * (cp // ct) * vp * hw if gaussian else 0,
     )
 
     scratch = [pltpu.VMEM((ct, dl, hwt), jnp.float32)] if cast else []
     lowp = cast  # bf16 out -> bf16-input matmul: quantization floor already 2^-8
-    if gaussian:
-        coef = -(0.5 / (sigma * sigma)) / r2  # (B, Vp)
-        ex_rows = _chunk_rows(jnp.exp(dx2 * coef[:, None, :]), a)
-        coef_chunks = coef.reshape(b, nvc, a).reshape(b * nvc, 1, a)
-        if cast:
-            kernel = functools.partial(_kernel_gaussian_v4_cast, dl=dl, a=a, ct=ct, hwt=hwt,
-                                       hrows=hrows, nvc=nvc, out_dtype=odt, lowp=lowp)
-        else:
-            kernel = functools.partial(_kernel_gaussian_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows)
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                range_spec,
-                row_spec,
-                row_spec,
-                pl.BlockSpec((1, 1, a), lambda bb, cb, ht, vc: (bb * nvc + vc, 0, 0), memory_space=pltpu.VMEM),
-                dy2_spec,
-                dz2_spec,
-                wt_spec,
-            ],
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), odt if cast else jnp.float32),
-            scratch_shapes=scratch,
-            cost_estimate=cost,
-            interpret=_interpret(),
-        )(ranges, thresh_rows, ex_rows, coef_chunks, dy2_t, dz2_t, wt)
-    else:
-        if cast:
-            kernel = functools.partial(_kernel_binary_v4_cast, dl=dl, a=a, ct=ct, hwt=hwt,
-                                       hrows=hrows, nvc=nvc, out_dtype=odt, lowp=lowp)
-        else:
-            kernel = functools.partial(_kernel_binary_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows)
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[range_spec, row_spec, dy2_spec, dz2_spec, wt_spec],
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), odt if cast else jnp.float32),
-            scratch_shapes=scratch,
-            cost_estimate=cost,
-            interpret=_interpret(),
-        )(ranges, thresh_rows, dy2_t, dz2_t, wt)
+    kernel = functools.partial(
+        _kernel_v5, gaussian=gaussian, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows, dim=dim,
+        res=res, half_width=half_width, nvc=nvc, out_dtype=odt, lowp=lowp,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[range_spec, atom_spec, wt_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), odt if cast else jnp.float32),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(ranges, atom_rows, wt)
     return out[:, :c, :, :].reshape(b, c, dl, dim, dim)
 
 

@@ -8,8 +8,10 @@ from molvoxel_tpu.ops.pallas_deposit import (
     _chunk_rows,
     _hw_tile,
     _plane_ranges_axes,
+    _plane_ranges_closed,
     _row_tile,
     _sort_atoms_spatially,
+    morton_keys,
 )
 
 
@@ -70,6 +72,45 @@ def test_plane_ranges_cover_activity(rng):
                 active = True
         if active:
             assert lo <= d < hi
+
+
+def test_plane_ranges_closed_cover_activity(rng):
+    """Closed-form ranges must cover every (tile, chunk, plane) where any
+    voxel of the tile passes the kernel's exact cutoff compare."""
+    spec = GridSpec(0.5, 16)
+    b, vp, dl = 2, 256, 16
+    coords = np.full((b, vp, 3), 1e3, np.float32)
+    coords[:, :40] = rng.uniform(-3.9, 3.9, (b, 40, 3)).astype(np.float32)
+    r2 = np.ones((b, vp), np.float32) * rng.uniform(0.5, 2.0)
+    nhwt, hrows, a = 2, 8, 128
+    ranges = np.asarray(
+        _plane_ranges_closed(jnp.asarray(coords), jnp.asarray(r2), spec, dl, nhwt, hrows, a)
+    ).reshape(b, nhwt, vp // a, 2)
+    ax = spec.axis()
+    for bi in range(b):
+        for ht in range(nhwt):
+            ay = ax[ht * hrows : (ht + 1) * hrows]
+            for vc in range(vp // a):
+                lo, hi = ranges[bi, ht, vc]
+                assert 0 <= lo <= hi <= dl
+                for v in range(vc * a, (vc + 1) * a):
+                    x, y, z = coords[bi, v]
+                    dyz2_min = ((ay - y) ** 2).min() + ((ax - z) ** 2).min()
+                    for d in range(dl):
+                        if dyz2_min + (ax[d] - x) ** 2 <= r2[bi, v]:
+                            assert lo <= d < hi, (bi, ht, vc, v, d, lo, hi)
+
+
+def test_morton_keys_locality():
+    spec = GridSpec(0.5, 32)
+    # two atoms in the same cell share a key; distant atoms differ
+    coords = jnp.asarray([[[0.01, 0.01, 0.01], [0.02, 0.02, 0.02], [7.0, -7.0, 7.0]]], jnp.float32)
+    keys = np.asarray(morton_keys(coords, spec))
+    assert keys[0, 0] == keys[0, 1] != keys[0, 2]
+    # masked atoms key to the end
+    mask = jnp.asarray([[True, False, True]])
+    keys_m = np.asarray(morton_keys(coords, spec, mask))
+    assert keys_m[0, 1] > keys_m[0, 0] and keys_m[0, 1] > keys_m[0, 2]
 
 
 def test_sort_atoms_preserves_set_and_masks(rng):
