@@ -55,30 +55,14 @@ def _load_molecules(path: Path, hydrogens: bool):
 
 def _cmd_voxelize(args) -> int:
     from .core.config import GridSpec
-    from .data import AtomTypeGetter, BondTypeGetter, MolPointCloudMaker
     from .parallel import StreamingVoxelizer
+    from .utils.timing import enable_compilation_cache
     from .viz.dx import write_channels_dx
 
+    enable_compilation_cache(".jax_cache")
     path = Path(args.input)
-    mols = _load_molecules(path, args.hydrogens)
-    if not mols:
-        raise SystemExit("no molecules parsed")
-    print(f"{len(mols)} molecule(s) from {path}", file=sys.stderr)
-
     symbols = [s.strip() for s in args.channels.split(",")]
-    atom_getter = AtomTypeGetter(symbols, unknown=args.unknown)
-    bond_getter = BondTypeGetter.default() if args.bonds else None
-    maker = MolPointCloudMaker(atom_getter, bond_getter, channel_type="features")
-    num_channels = maker.num_channels
-
-    def clouds():
-        for mol in mols:
-            coords, feats = maker.run(mol)
-            center = coords.mean(0) if args.center == "auto" else np.zeros(3)
-            yield (coords - center).astype(np.float32), feats.astype(np.float32)
-
     spec = GridSpec(resolution=args.resolution, dimension=args.dimension)
-    results = []
     sv = StreamingVoxelizer(
         spec,
         batch_size=args.batch,
@@ -88,10 +72,57 @@ def _cmd_voxelize(args) -> int:
         random_translation=args.random_translation,
         random_rotation=args.random_rotation,
         seed=args.seed,
+        out_dtype=args.out_dtype,
+        materialize=args.throughput,
     )
+
+    # Fast lane: SDF + atom-type channels goes through the vectorized feeder
+    # (native parse -> columnar batch assembly, data/feed.py) with no
+    # per-molecule Python.  Bond channels / PDB use the maker path.
+    use_feeder = path.suffix in (".sdf", ".mol") and not args.bonds and args.center == "auto"
+
+    def batches():
+        if use_feeder:
+            from .data.feed import SDFBatchFeeder
+
+            feeder = SDFBatchFeeder(
+                path, symbols,
+                batch_size=args.batch, unknown=args.unknown,
+                keep_hydrogens=args.hydrogens, workers=args.workers,
+            )
+            yield from feeder
+        else:
+            from .data import AtomTypeGetter, BondTypeGetter, MolPointCloudMaker
+            from .data.pipeline import iter_batches
+
+            mols = _load_molecules(path, args.hydrogens)
+            atom_getter = AtomTypeGetter(symbols, unknown=args.unknown)
+            bond_getter = BondTypeGetter.default() if args.bonds else None
+            maker = MolPointCloudMaker(atom_getter, bond_getter, channel_type="features")
+
+            def clouds():
+                for mol in mols:
+                    coords, feats = maker.run(mol)
+                    center = coords.mean(0) if args.center == "auto" else np.zeros(3)
+                    yield (coords - center).astype(np.float32), feats.astype(np.float32)
+
+            yield from iter_batches(clouds(), args.batch)
+
+    channel_names = symbols + (["Unknown"] if args.unknown else [])
+    if args.bonds:
+        channel_names += ["SingleBond", "DoubleBond", "TripleBond", "AromaticBond"]
+
+    if args.throughput:
+        if not use_feeder:
+            raise SystemExit("--throughput needs the SDF fast lane (no --bonds, --center auto)")
+        return _run_throughput(args, spec, path, symbols)
+
+    results = []
     t0 = time.time()
-    stats = sv.run(clouds(), lambda images, batch: results.append(np.asarray(images)))
-    grids = np.concatenate(results, axis=0)[: len(mols)]
+    stats = sv.run_batches(batches(), lambda images, batch: results.append(np.asarray(images)))
+    if not results:
+        raise SystemExit("no molecules parsed")
+    grids = np.concatenate(results, axis=0)[: stats.molecules]
     print(
         f"voxelized {stats.molecules} molecules in {time.time() - t0:.2f}s "
         f"-> grids {grids.shape}",
@@ -105,17 +136,80 @@ def _cmd_voxelize(args) -> int:
         np.savez_compressed(
             args.output,
             grids=grids,
-            channels=np.asarray(maker.channels),
+            channels=np.asarray(channel_names),
             resolution=np.float32(args.resolution),
             dimension=np.int32(args.dimension),
         )
         print(f"wrote {out_path}", file=sys.stderr)
     if args.dx:
-        channel_dict = {name: grids[0, i] for i, name in enumerate(maker.channels)}
+        channel_dict = {name: grids[0, i] for i, name in enumerate(channel_names)}
         paths = write_channels_dx(args.dx, channel_dict, [0, 0, 0], args.resolution)
         print(f"wrote {len(paths)} .dx volumes to {args.dx}", file=sys.stderr)
     if not args.output and not args.dx:
         print(json.dumps({"molecules": int(stats.molecules), "shape": list(grids.shape)}))
+    return 0
+
+
+def _run_throughput(args, spec, path, symbols) -> int:
+    """End-to-end stream-from-disk throughput: parse + batch + H2D + voxelize.
+
+    The production-shaped pipeline: the vectorized feeder emits COMPACT
+    superbatches (int8 types, no one-hot — data/feed.py) and the fused scan
+    step voxelizes a whole superbatch per dispatch, reducing each chunk's
+    grids to a scalar on device (parallel/stream.py _fused_scan_step).  Host
+    cost per superbatch is 3 transfers + 1 dispatch, which matters: through
+    the axon tunnel every host->device op costs ~1-3 ms.
+
+    The timed window ends at ONE final scalar fetch — the only trustworthy
+    fence, since the tunnel defers execution past block_until_ready
+    (CLAUDE.md).  Each chunk's checksum depends on fresh PRNG keys, so
+    nothing folds or skips.  Two passes: the first warms the jit cache.
+    """
+    from .data.feed import SDFBatchFeeder, prefetch_iter
+    from .parallel.stream import stream_checksum
+
+    batch = 8192 if args.batch == 64 else args.batch  # default --batch is sized for grids-out mode
+    chunk = min(args.chunk, batch)
+    superbatch = max(batch, chunk) // chunk * chunk
+
+    def one_pass(seed):
+        feeder = SDFBatchFeeder(
+            path, symbols,
+            batch_size=superbatch, unknown=args.unknown,
+            keep_hydrogens=args.hydrogens, workers=args.workers, compact=True,
+        )
+        t0 = time.time()
+        stats, checksum = stream_checksum(
+            prefetch_iter(iter(feeder)), spec,
+            chunk=chunk, density_type=args.density, sigma=args.sigma,
+            radii=args.radii, random_translation=args.random_translation,
+            random_rotation=args.random_rotation, out_dtype=args.out_dtype,
+            seed=seed,
+        )
+        return stats, time.time() - t0, checksum
+
+    print("warmup pass (compiles cached under .jax_cache) ...", file=sys.stderr)
+    one_pass(0)
+    stats, wall, checksum = one_pass(1)
+    print(
+        json.dumps(
+            {
+                "metric": "stream_from_disk_mols_per_s",
+                "value": round(stats.molecules / wall, 1),
+                "unit": "mols/s",
+                "molecules": int(stats.molecules),
+                "superbatches": int(stats.batches),
+                "superbatch": superbatch,
+                "chunk": chunk,
+                "wall_s": round(wall, 3),
+                "out_dtype": args.out_dtype,
+                "density": args.density,
+                "dimension": args.dimension,
+                "workers": args.workers,
+                "checksum": checksum,
+            }
+        )
+    )
     return 0
 
 
@@ -151,6 +245,14 @@ def main(argv=None) -> int:
     pv.add_argument("--random-translation", type=float, default=0.0)
     pv.add_argument("--random-rotation", action="store_true")
     pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--workers", type=int, default=2, help="parser threads for the vectorized SDF feeder")
+    pv.add_argument("--chunk", type=int, default=256, help="in-graph scan chunk for --throughput")
+    pv.add_argument("--out-dtype", default="float32", choices=["float32", "bfloat16"])
+    pv.add_argument(
+        "--throughput",
+        action="store_true",
+        help="measure end-to-end stream-from-disk mols/s (grids consumed on device, not saved)",
+    )
 
     sub.add_parser("bench", help="run the headline benchmark")
 

@@ -9,6 +9,14 @@ from .getter import (
     FeatureGetter,
     TypeGetter,
 )
+from .feed import (
+    FlatClouds,
+    SDFBatchFeeder,
+    assemble_batches,
+    flat_clouds,
+    map_symbols,
+    morton_presort,
+)
 from .parsers import SimpleMolecule, iter_sdf, read_molecule, read_pdb, read_sdf
 from .pipeline import PaddedBatch, iter_batches, pad_point_clouds, types_to_onehot
 from .pointcloud import (
@@ -29,6 +37,12 @@ __all__ = [
     "ChannelGetter",
     "FeatureGetter",
     "TypeGetter",
+    "FlatClouds",
+    "SDFBatchFeeder",
+    "assemble_batches",
+    "flat_clouds",
+    "map_symbols",
+    "morton_presort",
     "SimpleMolecule",
     "iter_sdf",
     "read_molecule",

@@ -19,14 +19,24 @@ from ..core.config import small_atom_bucket
 
 @dataclasses.dataclass
 class PaddedBatch:
-    """A fixed-shape molecule batch ready for device transfer."""
+    """A fixed-shape molecule batch ready for device transfer.
+
+    Two channel encodings:
+    - dense: ``weights`` (B, Vp, C) one-hot / feature rows, ``types`` None.
+    - compact: ``types`` (B, Vp) int8 channel indices (-1 = padding) and
+      ``weights`` None — 1/(4C) the transfer bytes; the one-hot expansion and
+      the validity mask (``types >= 0``) are rebuilt in-graph
+      (parallel.stream._fused_scan_step).  ``num_channels`` records C.
+    """
 
     coords: np.ndarray  # (B, Vp, 3) f32
-    weights: np.ndarray  # (B, Vp, C) f32
+    weights: np.ndarray | None  # (B, Vp, C) f32, or None when compact
     mask: np.ndarray  # (B, Vp) bool
     radii: np.ndarray | None  # (B, Vp) f32 when per-atom, else None
     centers: np.ndarray | None  # (B, 3) f32
     num_atoms: np.ndarray  # (B,) int32 true sizes
+    types: np.ndarray | None = None  # (B, Vp) int8, -1 padding (compact form)
+    num_channels: int | None = None  # C for the compact form
 
     @property
     def batch_size(self) -> int:

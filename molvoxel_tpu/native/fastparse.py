@@ -69,27 +69,11 @@ class FlatMolecules:
         return len(self.atom_offsets) - 1
 
     def types(self, symbol_table: dict[str, int], unknown: int | None = None) -> np.ndarray:
-        """Vectorized symbol -> type-index mapping for all atoms at once.
+        """Vectorized symbol -> type-index mapping for all atoms at once
+        (data.feed.map_symbols: searchsorted over the 4-byte fields as ints)."""
+        from ..data.feed import map_symbols
 
-        Symbols are 4-byte fields; comparing them as uint32 integers keeps the
-        whole mapping in a few numpy passes (searchsorted over ints)."""
-        sym_u32 = np.ascontiguousarray(self.symbols).view(np.uint32)
-        keys_b = np.array([k.encode().ljust(4, b"\0") for k in symbol_table], dtype="|S4")
-        keys = keys_b.view(np.uint32)
-        vals = np.array(list(symbol_table.values()), dtype=np.int32)
-        order = np.argsort(keys)
-        keys, vals = keys[order], vals[order]
-        idx = np.searchsorted(keys, sym_u32)
-        idx = np.clip(idx, 0, len(keys) - 1)
-        hit = keys[idx] == sym_u32
-        out = vals[idx]
-        if unknown is None:
-            if not hit.all():
-                bad = self.symbols[~hit][0].decode()
-                raise KeyError(f"unknown element symbol {bad!r}")
-        else:
-            out = np.where(hit, out, np.int32(unknown))
-        return out
+        return map_symbols(self.symbols, symbol_table, unknown)
 
     def molecule(self, m: int) -> SimpleMolecule:
         a0, a1 = self.atom_offsets[m], self.atom_offsets[m + 1]

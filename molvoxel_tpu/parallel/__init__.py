@@ -8,7 +8,7 @@ from .mesh import (
     replicated_sharding,
 )
 from .sharded import voxelize_batch_2d, voxelize_batch_dp, voxelize_depth_sharded
-from .stream import StreamingVoxelizer, StreamStats
+from .stream import StreamingVoxelizer, StreamStats, stream_checksum
 
 __all__ = [
     "DATA_AXIS",
@@ -22,5 +22,6 @@ __all__ = [
     "voxelize_batch_dp",
     "StreamingVoxelizer",
     "StreamStats",
+    "stream_checksum",
     "voxelize_depth_sharded",
 ]

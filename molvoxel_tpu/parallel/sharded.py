@@ -34,7 +34,10 @@ from .mesh import DATA_AXIS, DEPTH_AXIS
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "spec", "density_type", "sigma", "random_rotation", "channelwise", "impl"),
+    static_argnames=(
+        "mesh", "spec", "density_type", "sigma", "random_rotation", "channelwise", "impl",
+        "out_dtype", "presorted",
+    ),
 )
 def voxelize_batch_dp(
     coords: jnp.ndarray,  # (B, V, 3), B divisible by mesh data axis
@@ -52,6 +55,8 @@ def voxelize_batch_dp(
     random_rotation: bool = False,
     channelwise: bool = False,
     impl: str = "auto",
+    out_dtype: str = "float32",
+    presorted: bool = False,
 ) -> jnp.ndarray:
     """Data-parallel batched voxelization -> (B, C, D, H, W) sharded on B."""
     b = coords.shape[0]
@@ -66,6 +71,7 @@ def voxelize_batch_dp(
             coords, weights, radii, mask, centers, keys, rt,
             spec=spec, density_type=density_type, sigma=sigma,
             random_rotation=random_rotation, channelwise=channelwise, impl=impl,
+            out_dtype=out_dtype, presorted=presorted,
         )
 
     shard = jax.shard_map(

@@ -19,12 +19,14 @@ operational layer a production run needs:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from collections.abc import Callable, Iterable
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import GridSpec
@@ -64,6 +66,9 @@ class StreamingVoxelizer:
         seed: int = 0,
         checkpoint_path: str | Path | None = None,
         checkpoint_every: int = 10,
+        out_dtype: str = "float32",
+        presorted: bool = False,
+        materialize: bool = False,
     ):
         self.spec = spec
         self.batch_size = batch_size
@@ -76,6 +81,9 @@ class StreamingVoxelizer:
         self.mesh = mesh
         self.checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
         self.checkpoint_every = checkpoint_every
+        self.out_dtype = out_dtype
+        self.presorted = presorted
+        self.materialize = materialize
         self._key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------- checkpoint
@@ -99,10 +107,16 @@ class StreamingVoxelizer:
         b = batch.batch_size
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, b)
+        per_atom = batch.radii is not None
+        weights = batch.weights
+        if weights is None:  # compact batch: expand the one-hot host-side
+            t = batch.types
+            eye = np.eye(batch.num_channels, dtype=np.float32)
+            weights = np.where((t >= 0)[..., None], eye[np.maximum(t, 0)], 0.0)
         args = (
             jnp.asarray(batch.coords),
-            jnp.asarray(batch.weights),
-            radii_dev,
+            jnp.asarray(weights),
+            jnp.asarray(batch.radii) if per_atom else radii_dev,
             jnp.asarray(batch.mask),
             None if batch.centers is None else jnp.asarray(batch.centers),
             keys,
@@ -113,10 +127,14 @@ class StreamingVoxelizer:
             density_type=self.density_type,
             sigma=self.sigma,
             random_rotation=self.random_rotation,
+            out_dtype=self.out_dtype,
+            presorted=self.presorted,
         )
-        if self.mesh is not None and b % self.mesh.shape[DATA_AXIS] == 0:
+        if self.mesh is None:
+            kw["materialize"] = self.materialize
+        if self.mesh is not None and not per_atom and b % self.mesh.shape[DATA_AXIS] == 0:
             return voxelize_batch_dp(*args, mesh=self.mesh, **kw)
-        return voxelize_batch(*args, **kw)
+        return voxelize_batch(*args, radii_batched=per_atom, **kw)
 
     def run(
         self,
@@ -129,11 +147,36 @@ class StreamingVoxelizer:
         images is the device array (B, C, D, H, W); padded tail molecules
         (mask all-False) produce all-zero grids.
         """
+        source = iter(clouds)
+        skip = self._load_checkpoint()
+        if skip:
+            for _ in range(skip):
+                next(source, None)
+        return self.run_batches(
+            iter_batches(source, self.batch_size, bucket=self.bucket),
+            consumer,
+            log_every=log_every,
+            skipped=skip,
+        )
+
+    def run_batches(
+        self,
+        batches: Iterable[PaddedBatch],
+        consumer: Callable[[jax.Array, PaddedBatch], None] | None = None,
+        log_every: int = 0,
+        skipped: int = 0,
+    ) -> StreamStats:
+        """Drive a pre-built PaddedBatch stream (e.g. data.feed.SDFBatchFeeder).
+
+        Callers that batch upstream (the vectorized feeder, a sharded loader)
+        enter here directly and skip the per-molecule iter_batches path.
+        Resume semantics: ``skipped`` molecules were already done; checkpoints
+        record ``skipped + molecules``.
+        """
         import jax.numpy as jnp
 
         stats = StreamStats()
-        skip = self._load_checkpoint()
-        stats.skipped = skip
+        stats.skipped = skipped
         t0 = time.time()
 
         radii_dev = None
@@ -143,25 +186,17 @@ class StreamingVoxelizer:
             if p is not None and consumer is not None:
                 consumer(p[0], p[1])
 
-        def real_count(batch: PaddedBatch) -> int:
-            return int((batch.num_atoms > 0).sum())
-
-        source = iter(clouds)
-        if skip:
-            for _ in range(skip):
-                next(source, None)
-
-        for batch in iter_batches(source, self.batch_size, bucket=self.bucket):
-            if radii_dev is None or radii_dev.shape[0] != batch.padded_atoms:
+        for batch in batches:
+            if batch.radii is None and (radii_dev is None or radii_dev.shape[0] != batch.padded_atoms):
                 radii_dev = jnp.full((batch.padded_atoms,), float(self.radii), jnp.float32)
             images = self._dispatch(batch, radii_dev)  # async dispatch
             flush(pending)  # consume previous while this batch runs
             pending = (images, batch)
             stats.batches += 1
-            stats.molecules += real_count(batch)
+            stats.molecules += int((batch.num_atoms > 0).sum())
             if self.checkpoint_path and stats.batches % self.checkpoint_every == 0:
                 jax.block_until_ready(images)
-                self._save_checkpoint(skip + stats.molecules)
+                self._save_checkpoint(skipped + stats.molecules)
             if log_every and stats.batches % log_every == 0:
                 dt = time.time() - t0
                 print(
@@ -172,5 +207,136 @@ class StreamingVoxelizer:
         if pending is not None:
             jax.block_until_ready(pending[0])
         stats.wall_seconds = time.time() - t0
-        self._save_checkpoint(skip + stats.molecules)
+        self._save_checkpoint(skipped + stats.molecules)
         return stats
+
+
+# ------------------------------------------------------- fused stream step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "num_channels", "radii_value", "random_translation", "spec",
+        "density_type", "sigma", "random_rotation", "out_dtype", "impl",
+    ),
+)
+def _fused_scan_step(
+    coords,  # (B, Vp, 3) f32, B = k * chunk
+    types,  # (B, Vp) int8, -1 = padding
+    centers,  # (B, 3) f32
+    key,  # base PRNG key (device-resident, transferred once)
+    step,  # int32 scalar: stream step counter (folds into the keys)
+    *,
+    chunk: int,
+    num_channels: int,
+    radii_value: float,
+    random_translation: float,
+    spec: GridSpec,
+    density_type: str,
+    sigma: float,
+    random_rotation: bool,
+    out_dtype: str,
+    impl: str = "auto",
+):
+    """One dispatch for a whole superbatch: scan chunks, return ONE checksum.
+
+    Built for the tunnel/host-overhead regime the stream driver measured:
+    every host->device operation costs ~1-3 ms through the axon tunnel, so
+    the production step takes THREE compact arrays (int8 types instead of
+    one-hot f32 weights: 4C x fewer bytes), derives masks/one-hots/PRNG keys
+    in-graph, and keeps memory O(chunk) by reducing each chunk's grids to a
+    scalar inside the scan — grids are written (Pallas output is intrinsic;
+    the separable path runs materialize=True) but never round-trip to HBM
+    twice or to the host.  This is the shape a training consumer uses, with
+    the checksum replaced by its loss.
+    """
+    b, vp = types.shape
+    k = b // chunk
+    coords = coords.reshape(k, chunk, vp, 3)
+    types = types.reshape(k, chunk, vp)
+    centers = centers.reshape(k, chunk, 3)
+    radii = jnp.full((vp,), radii_value, jnp.float32)
+    base = jax.random.fold_in(key, step)
+
+    def body(acc, xs):
+        i, crd, t, ce = xs
+        keys = jax.random.split(jax.random.fold_in(base, i), chunk)
+        mask = t >= 0
+        w = jax.nn.one_hot(jnp.maximum(t, 0).astype(jnp.int32), num_channels, dtype=jnp.float32)
+        w = w * mask[..., None].astype(jnp.float32)
+        out = voxelize_batch(
+            crd, w, radii, mask, ce, keys, random_translation,
+            spec=spec, density_type=density_type, sigma=sigma,
+            random_rotation=random_rotation, impl=impl,
+            materialize=True, out_dtype=out_dtype,
+        )
+        return acc + jnp.sum(out.astype(jnp.float32)), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.float32(0.0), (jnp.arange(k), coords, types, centers)
+    )
+    return acc
+
+
+def stream_checksum(
+    batches: Iterable[PaddedBatch],
+    spec: GridSpec,
+    *,
+    chunk: int = 256,
+    density_type: str = "gaussian",
+    sigma: float = 0.5,
+    radii: float = 1.0,
+    random_translation: float = 0.0,
+    random_rotation: bool = False,
+    out_dtype: str = "float32",
+    impl: str = "auto",
+    seed: int = 0,
+) -> tuple[StreamStats, float]:
+    """Drive compact superbatches through the fused step; return a checksum.
+
+    The throughput-measurement / training-shaped driver: batches must be
+    compact (types present, data/feed.py compact=True) with batch_size a
+    multiple of ``chunk``.  Host work per superbatch = 3 array transfers +
+    1 scalar + 1 dispatch; the single final float() fetch fences everything
+    (the tunnel defers execution, CLAUDE.md).
+    """
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    stats = StreamStats()
+    accs = []
+    t0 = time.time()
+    for step, batch in enumerate(batches):
+        if batch.types is None:
+            raise ValueError("stream_checksum needs compact batches (SDFBatchFeeder(compact=True))")
+        if batch.batch_size % chunk:
+            raise ValueError(f"batch_size {batch.batch_size} not a multiple of chunk {chunk}")
+        accs.append(
+            _fused_scan_step(
+                jnp.asarray(batch.coords),
+                jnp.asarray(batch.types),
+                jnp.asarray(
+                    batch.centers
+                    if batch.centers is not None
+                    else np.zeros((batch.batch_size, 3), np.float32)
+                ),
+                key,
+                jnp.int32(step),
+                chunk=chunk,
+                num_channels=batch.num_channels,
+                radii_value=float(radii),
+                random_translation=float(random_translation),
+                spec=spec,
+                density_type=density_type,
+                sigma=sigma,
+                random_rotation=random_rotation,
+                out_dtype=out_dtype,
+                impl=impl,
+            )
+        )
+        stats.batches += 1
+        stats.molecules += int((batch.num_atoms > 0).sum())
+    checksum = float(jnp.sum(jnp.stack(accs))) if accs else 0.0
+    stats.wall_seconds = time.time() - t0
+    return stats, checksum

@@ -1,0 +1,262 @@
+"""Vectorized host feed (data/feed.py): equivalence with the per-molecule
+batching path, shard stitching, and the multi-worker feeder."""
+
+import numpy as np
+import pytest
+
+from molvoxel_tpu.core.config import GridSpec
+from molvoxel_tpu.data.feed import (
+    FlatClouds,
+    SDFBatchFeeder,
+    _record_shards,
+    assemble_batches,
+    concat_flat_clouds,
+    flat_clouds,
+    map_symbols,
+    morton_presort,
+)
+from molvoxel_tpu.data.getter import AtomTypeGetter
+from molvoxel_tpu.data.pipeline import iter_batches, types_to_onehot
+from molvoxel_tpu.data.pointcloud import MolPointCloudMaker
+from molvoxel_tpu.native.fastparse import parse_sdf_file, parse_sdf_flat
+
+LIGAND = "/root/reference/test/10gs/10gs_ligand.sdf"
+SYMBOLS = ["C", "N", "O", "S"]
+TABLE = {s: i for i, s in enumerate(SYMBOLS)}
+
+
+def _make_sdf(tmp_path, n_records):
+    rec = open(LIGAND, "rb").read()
+    path = tmp_path / f"lib{n_records}.sdf"
+    path.write_bytes(rec * n_records)
+    return path
+
+
+def _reference_batches(path, batch_size, num_channels, unknown):
+    """The per-molecule path: SimpleMolecule -> maker -> pad_point_clouds."""
+    getter = AtomTypeGetter(SYMBOLS, unknown=unknown)
+    maker = MolPointCloudMaker(getter, None, channel_type="types")
+    out = []
+    for mol in parse_sdf_file(path):
+        mol = mol.without_hydrogens()
+        coords, types = maker.run(mol)
+        center = coords.mean(0)
+        out.append(((coords - center).astype(np.float32), types_to_onehot(types, num_channels)))
+    return list(iter_batches(out, batch_size))
+
+
+class TestMapSymbols:
+    def test_basic(self):
+        syms = np.array([b"C", b"N", b"O", b"S", b"C"], dtype="|S4")
+        np.testing.assert_array_equal(map_symbols(syms, TABLE), [0, 1, 2, 3, 0])
+
+    def test_unknown_channel(self):
+        syms = np.array([b"C", b"Fe", b"P"], dtype="|S4")
+        np.testing.assert_array_equal(map_symbols(syms, TABLE, unknown=4), [0, 4, 4])
+
+    def test_unknown_raises(self):
+        syms = np.array([b"C", b"Xx"], dtype="|S4")
+        with pytest.raises(KeyError, match="Xx"):
+            map_symbols(syms, TABLE)
+
+
+class TestVectorizedAssembly:
+    def test_matches_per_molecule_path(self, tmp_path):
+        """The whole vectorized chain reproduces the per-molecule batches:
+        same padded coords (after centering), one-hot weights, and masks."""
+        path = _make_sdf(tmp_path, 7)
+        batch_size = 3
+        ref = _reference_batches(path, batch_size, len(SYMBOLS), unknown=False)
+
+        flat = parse_sdf_flat(path.read_bytes())
+        fc = flat_clouds(flat, TABLE)
+        batches, carry = assemble_batches(fc, len(SYMBOLS), batch_size, pad_tail=True)
+        assert carry.num_molecules == 0
+        assert len(batches) == len(ref)
+        for got, want in zip(batches, ref):
+            centered = got.coords - np.where(
+                got.mask[..., None], got.centers[:, None, :], 0.0
+            )
+            np.testing.assert_allclose(centered, want.coords, atol=1e-5)
+            np.testing.assert_array_equal(got.weights, want.weights)
+            np.testing.assert_array_equal(got.mask, want.mask)
+            np.testing.assert_array_equal(got.num_atoms, want.num_atoms)
+
+    def test_carry_and_concat(self):
+        rng = np.random.default_rng(0)
+        counts = np.array([3, 5, 2, 4, 1], np.int64)
+        ta = int(counts.sum())
+        fc = FlatClouds(
+            rng.normal(size=(ta, 3)).astype(np.float32),
+            rng.integers(0, 4, size=ta).astype(np.int32),
+            counts,
+        )
+        # batch_size 2 over 5 molecules: 2 whole batches + 1 carried molecule
+        batches, carry = assemble_batches(fc, 4, 2, center=False)
+        assert len(batches) == 2 and carry.num_molecules == 1
+        np.testing.assert_array_equal(carry.counts, [1])
+        # stitching the carry with more molecules continues seamlessly
+        more = FlatClouds(fc.coords[:7], fc.types[:7], np.array([3, 4], np.int64))
+        stitched = concat_flat_clouds([carry, more])
+        batches2, carry2 = assemble_batches(stitched, 4, 2, center=False, pad_tail=True)
+        assert len(batches2) == 2 and carry2.num_molecules == 0
+        # padded tail molecule is empty
+        assert batches2[1].num_atoms[1] == 0 and not batches2[1].mask[1].any()
+        # molecule 4 (count 1) landed as first molecule of batches2[0]
+        np.testing.assert_allclose(batches2[0].coords[0, 0], fc.coords[14])
+
+    def test_hydrogen_filter(self):
+        syms = np.array([b"C", b"H", b"O", b"H", b"H", b"N"], dtype="|S4")
+        coords = np.arange(18, dtype=np.float64).reshape(6, 3)
+
+        class Fake:
+            pass
+
+        flat = Fake()
+        flat.coords = coords
+        flat.symbols = syms
+        flat.atom_offsets = np.array([0, 4, 6], np.int64)
+        fc = flat_clouds(flat, TABLE)
+        np.testing.assert_array_equal(fc.counts, [2, 1])
+        np.testing.assert_array_equal(fc.types, [0, 2, 1])
+        np.testing.assert_allclose(fc.coords, coords[[0, 2, 5]])
+        fc_all = flat_clouds(flat, {**TABLE, "H": 4}, keep_hydrogens=True)
+        np.testing.assert_array_equal(fc_all.counts, [4, 2])
+
+    def test_radii_by_type(self):
+        fc = FlatClouds(
+            np.zeros((3, 3), np.float32),
+            np.array([0, 2, 1], np.int32),
+            np.array([3], np.int64),
+        )
+        radii = np.array([1.0, 1.5, 2.0, 0.5], np.float32)
+        (batch,), _ = assemble_batches(fc, 4, 1, radii_by_type=radii, center=False)
+        np.testing.assert_allclose(batch.radii[0, :3], [1.0, 2.0, 1.5])
+        np.testing.assert_allclose(batch.radii[0, 3:], 1.0)  # padding radius
+
+
+class TestMortonPresort:
+    def test_sort_matches_device_order_semantics(self):
+        """Presorted batches produce identical voxel grids (deposition is
+        permutation-invariant) and padded atoms stay masked out."""
+        import jax
+
+        from molvoxel_tpu.ops.batch import voxelize_batch
+
+        rng = np.random.default_rng(1)
+        counts = np.array([150, 200], np.int64)
+        ta = int(counts.sum())
+        fc = FlatClouds(
+            rng.uniform(-10, 10, size=(ta, 3)).astype(np.float32),
+            rng.integers(0, 4, size=ta).astype(np.int32),
+            counts,
+        )
+        (batch,), _ = assemble_batches(fc, 4, 2, bucket=256, center=False)
+        spec = GridSpec(resolution=0.5, dimension=32)
+        sorted_batch = morton_presort(batch, spec)
+        # same multiset of atoms per molecule
+        assert sorted_batch.mask.sum() == batch.mask.sum()
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        kw = dict(spec=spec, density_type="gaussian", sigma=0.5, impl="pallas")
+        a = voxelize_batch(
+            np.asarray(batch.coords), np.asarray(batch.weights), np.ones((256,), np.float32),
+            np.asarray(batch.mask), None, keys, 0.0, **kw,
+        )
+        b = voxelize_batch(
+            np.asarray(sorted_batch.coords), np.asarray(sorted_batch.weights),
+            np.ones((256,), np.float32), np.asarray(sorted_batch.mask), None, keys, 0.0,
+            presorted=True, **kw,
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestShardSplitter:
+    def test_record_aligned(self, tmp_path):
+        path = _make_sdf(tmp_path, 10)
+        buf = path.read_bytes()
+        spans = _record_shards(buf, 4)
+        assert spans[0][0] == 0 and spans[-1][1] == len(buf)
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        total = 0
+        for s, e in spans:
+            flat = parse_sdf_flat(buf[s:e])
+            total += flat.num_molecules
+        assert total == 10
+
+    def test_degenerate_single_record(self, tmp_path):
+        path = _make_sdf(tmp_path, 1)
+        spans = _record_shards(path.read_bytes(), 8)
+        assert spans == [(0, len(path.read_bytes()))]
+
+
+class TestFeeder:
+    @pytest.mark.parametrize("workers,shards", [(1, 1), (2, 5)])
+    def test_matches_reference_batches(self, tmp_path, workers, shards):
+        path = _make_sdf(tmp_path, 11)
+        batch_size = 4
+        ref = _reference_batches(path, batch_size, len(SYMBOLS), unknown=False)
+        feeder = SDFBatchFeeder(
+            path, SYMBOLS, batch_size=batch_size, workers=workers, shards=shards
+        )
+        got = list(feeder)
+        assert feeder.molecules_fed == 11
+        assert len(got) == len(ref)
+        for g, w in zip(got, ref):
+            centered = g.coords - np.where(g.mask[..., None], g.centers[:, None, :], 0.0)
+            np.testing.assert_allclose(centered, w.coords, atol=1e-5)
+            np.testing.assert_array_equal(g.weights, w.weights)
+            np.testing.assert_array_equal(g.mask, w.mask)
+
+    def test_streaming_voxelizer_run_batches(self, tmp_path):
+        from molvoxel_tpu.parallel.stream import StreamingVoxelizer
+
+        path = _make_sdf(tmp_path, 9)
+        feeder = SDFBatchFeeder(path, SYMBOLS, batch_size=4, workers=2, shards=3)
+        spec = GridSpec(resolution=0.5, dimension=16)
+        sv = StreamingVoxelizer(spec, batch_size=4)
+        seen = []
+        stats = sv.run_batches(iter(feeder), lambda img, b: seen.append(np.asarray(img)))
+        assert stats.molecules == 9
+        assert stats.batches == 3
+        grids = np.concatenate(seen)[:9]
+        assert grids.shape == (9, 4, 16, 16, 16)
+        assert (grids.sum(axis=(1, 2, 3, 4)) > 0).all()
+        # identical molecules (same record repeated) -> identical grids
+        np.testing.assert_allclose(grids[0], grids[5], atol=1e-5)
+
+
+class TestCompactBatches:
+    def test_compact_equals_dense(self, tmp_path):
+        path = _make_sdf(tmp_path, 6)
+        flat = parse_sdf_flat(path.read_bytes())
+        fc = flat_clouds(flat, TABLE)
+        dense, _ = assemble_batches(fc, 4, 3, pad_tail=True)
+        compact, _ = assemble_batches(fc, 4, 3, pad_tail=True, compact=True)
+        for d, c in zip(dense, compact):
+            assert c.weights is None and c.num_channels == 4
+            expanded = np.where(
+                (c.types >= 0)[..., None],
+                np.eye(4, dtype=np.float32)[np.maximum(c.types, 0)],
+                0.0,
+            )
+            np.testing.assert_array_equal(expanded, d.weights)
+            np.testing.assert_array_equal(c.types >= 0, d.mask)
+
+    def test_fused_scan_matches_run_batches(self, tmp_path):
+        """The fused one-dispatch scan step produces the same grids-sum as
+        the per-batch driver on identical inputs (no augmentation)."""
+        import jax.numpy as jnp
+
+        from molvoxel_tpu.parallel.stream import StreamingVoxelizer, stream_checksum
+
+        path = _make_sdf(tmp_path, 8)
+        spec = GridSpec(resolution=0.5, dimension=16)
+        feeder = SDFBatchFeeder(path, SYMBOLS, batch_size=8, compact=True)
+        batches = list(feeder)
+        stats, checksum = stream_checksum(iter(batches), spec, chunk=4)
+        assert stats.molecules == 8
+
+        sums = []
+        sv = StreamingVoxelizer(spec, batch_size=8)
+        sv.run_batches(iter(batches), lambda img, b: sums.append(float(jnp.sum(img))))
+        assert abs(checksum - sum(sums)) < 1e-2 * max(abs(checksum), 1.0)

@@ -1,0 +1,155 @@
+"""One-command on-device gate: golden parity + kernel-surface checks (+ bench).
+
+The CPU test suite runs the Pallas kernels in interpret mode, which provably
+misses real-Mosaic bugs (the tpu.iota int-only crash, the nvc=0 crash — both
+caught only on hardware).  This gate is what a round runs before it ends:
+
+    timeout 580 python tools/round_gate.py            # parity + kernel checks
+    timeout 1200 python tools/round_gate.py --bench   # ... + headline bench
+    timeout 1800 python tools/round_gate.py --big     # ... + 256^3 slab probe
+
+It prints ONE summary JSON line and exits non-zero on any regression.
+
+Checks, all on the CURRENT jax backend (the real chip under the axon tunnel):
+1. replay every committed golden through the public API (tools/device_parity).
+2. exercise the kernel surfaces the goldens do NOT reach, comparing the
+   Pallas kernel against the independent dense XLA path on-chip:
+   - non-128-aligned grid (dim 20: HW=400 -> streamed-tile fallback),
+   - 128^3 protein-scale grid (Morton sort + closed-form ranges),
+   - depth-slab execution (d_offset/d_count, the depth-sharded unit),
+   - bf16 output lane vs the f32 parity lane,
+   - (--big) a 256^3 depth slab, where whole-row tiles exceed VMEM and the
+     kernel must stream (hwt_rows=None path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from molvoxel_tpu.utils.timing import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(str(REPO / ".jax_cache"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from molvoxel_tpu.core.config import GridSpec  # noqa: E402
+from molvoxel_tpu.ops.batch import voxelize_batch  # noqa: E402
+
+
+def _random_case(rng, v, c, spread):
+    coords = rng.uniform(-spread, spread, size=(1, v, 3)).astype(np.float32)
+    weights = rng.uniform(0.0, 1.0, size=(1, v, c)).astype(np.float32)
+    mask = np.ones((1, v), bool)
+    mask[0, -max(v // 16, 1):] = False  # exercise padded-atom masking
+    return jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(mask)
+
+
+def _run(coords, weights, mask, spec, *, impl, out_dtype="float32", d_offset=0, d_count=None):
+    keys = jax.random.split(jax.random.PRNGKey(7), coords.shape[0])
+    radii = jnp.full((coords.shape[1],), 1.0, jnp.float32)
+    out = voxelize_batch(
+        coords, weights, radii, mask, None, keys, 0.0,
+        spec=spec, density_type="gaussian", sigma=0.5, random_rotation=False,
+        impl=impl, out_dtype=out_dtype, d_offset=d_offset, d_count=d_count,
+    )
+    return np.asarray(jax.device_get(out))
+
+
+def kernel_checks(big: bool) -> dict:
+    """Pallas-vs-dense on-chip comparisons over the non-golden kernel surfaces."""
+    rng = np.random.default_rng(3)
+    results = {}
+
+    def record(name, err, tol):
+        ok = bool(err <= tol)
+        results[name] = {"max_err": float(err), "tol": tol, "ok": ok}
+        print(f"{'ok  ' if ok else 'FAIL'} kernel:{name:28s} max_err={err:.2e} (tol {tol:g})", flush=True)
+
+    # 1. non-128-aligned grid: dim 20 -> HW=400, streamed-tile fallback
+    spec = GridSpec(resolution=0.5, dimension=20)
+    coords, weights, mask = _random_case(rng, 128, 4, spec.width / 2)
+    p = _run(coords, weights, mask, spec, impl="pallas")
+    d = _run(coords, weights, mask, spec, impl="dense")
+    record("dim20_unaligned", np.abs(p - d).max(), 1e-5)
+
+    # 2. 128^3 protein-scale grid (sort + ranges active: V=512 > 128)
+    spec = GridSpec(resolution=0.5, dimension=128)
+    coords, weights, mask = _random_case(rng, 512, 4, spec.width / 2)
+    p = _run(coords, weights, mask, spec, impl="pallas")
+    d = _run(coords, weights, mask, spec, impl="dense")
+    record("dim128_protein", np.abs(p - d).max(), 1e-5)
+
+    # 3. depth-slab execution == full-grid slice (the depth-sharding unit)
+    spec = GridSpec(resolution=0.5, dimension=64)
+    coords, weights, mask = _random_case(rng, 128, 4, spec.width / 2)
+    slab = _run(coords, weights, mask, spec, impl="pallas", d_offset=16, d_count=32)
+    full = _run(coords, weights, mask, spec, impl="pallas")
+    record("depth_slab_64", np.abs(slab - full[:, :, 16:48]).max(), 1e-5)
+
+    # 4. bf16 output lane vs the f32 parity lane (quantization only)
+    b16 = _run(coords, weights, mask, spec, impl="pallas", out_dtype="bfloat16")
+    tol = float(max(np.abs(full).max(), 1.0)) * 2**-7
+    record("bf16_output_lane", np.abs(b16.astype(np.float32) - full).max(), tol)
+
+    if big:
+        # 5. 256^3 depth slab: whole-row tiles exceed VMEM -> streamed path
+        spec = GridSpec(resolution=0.25, dimension=256)
+        coords, weights, mask = _random_case(rng, 256, 4, spec.width / 2)
+        p = _run(coords, weights, mask, spec, impl="pallas", d_offset=96, d_count=64)
+        d = _run(coords, weights, mask, spec, impl="dense", d_offset=96, d_count=64)
+        record("dim256_slab_streamed", np.abs(p - d).max(), 1e-5)
+
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", action="store_true", help="also run bench.py and fold in its JSON")
+    ap.add_argument("--big", action="store_true", help="include the 256^3 streamed-slab check")
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    summary: dict = {"backend": jax.default_backend()}
+
+    if not args.skip_parity:
+        from tools.device_parity import main as parity_main
+
+        rc = parity_main()
+        summary["parity_ok"] = rc == 0
+    else:
+        summary["parity_ok"] = None
+
+    checks = kernel_checks(args.big)
+    summary["kernel_checks_ok"] = all(c["ok"] for c in checks.values())
+    summary["kernel_checks"] = {k: round(v["max_err"], 9) for k, v in checks.items()}
+
+    if args.bench:
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")], capture_output=True, text=True, timeout=900
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        try:
+            summary["bench"] = json.loads(line)
+        except json.JSONDecodeError:
+            summary["bench"] = {"error": line[:200]}
+
+    summary["ok"] = bool(summary.get("parity_ok") is not False and summary["kernel_checks_ok"])
+    summary["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(summary))
+    return 0 if summary["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
