@@ -61,6 +61,8 @@ def load_cases():
         ("protein 48^3 x4ch (3.3k atoms)", prot.coords - center, prot_feats, 48, 8),
         ("ligand 128^3 x4ch", lig.coords - center, np.eye(4, dtype=np.float32)[
             np.asarray([{"C": 0, "N": 1, "O": 2, "S": 3}.get(s, 3) for s in lig.symbols])], 128, 8),
+        # the BASELINE.json configs[4] protein regime: 128^3 pocket/protein grid
+        ("protein 128^3 x4ch (3.3k atoms)", prot.coords - prot.coords.mean(0), prot_feats, 128, 4),
     ]
 
 
@@ -76,22 +78,23 @@ def pad_batch(coords, feats, batch):
     return jnp.asarray(bc), jnp.asarray(bw), jnp.asarray(mask), vp
 
 
-def measure(coords, feats, dim, batch, density):
+def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=None):
     spec = GridSpec(0.5, dim)
     bc, bw, mask, vp = pad_batch(coords, feats, batch)
     radii = jnp.ones((vp,), jnp.float32)
 
     # Grids must land in HBM (materialize=True fences the separable einsum;
     # the Pallas write is intrinsic); the full-grid sum is the cheapest
-    # unfoldable consumer (contiguous read; strided samples gather terribly).
+    # unfoldable consumer (strided samples gather terribly).
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(key, n):
         def body(i, acc):
             keys = jax.random.split(jax.random.fold_in(key, i), batch)
             out = voxelize_batch(bc, bw, radii, mask, None, keys, 0.5,
                                  spec=spec, density_type=density, sigma=0.5,
-                                 random_rotation=True, impl="auto", materialize=True)
-            return acc + jnp.sum(out) * 1e-6
+                                 random_rotation=True, impl="auto", materialize=True,
+                                 out_dtype=out_dtype, d_count=d_count)
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
         return jax.lax.fori_loop(0, n, body, 0.0)
 
     def run(n):

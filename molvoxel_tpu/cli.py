@@ -168,7 +168,9 @@ def _run_throughput(args, spec, path, symbols) -> int:
     from .data.feed import SDFBatchFeeder, prefetch_iter
     from .parallel.stream import stream_checksum
 
-    batch = 8192 if args.batch == 64 else args.batch  # default --batch is sized for grids-out mode
+    # default --batch is sized for grids-out mode; measured sweep on-chip:
+    # superbatch 4096 (13 overlap units on 50k mols) > 8192 > 16384
+    batch = 4096 if args.batch == 64 else args.batch
     chunk = min(args.chunk, batch)
     superbatch = max(batch, chunk) // chunk * chunk
 
