@@ -55,8 +55,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.config import GridSpec, round_up
-from .dense import _axis_positions
+from molvoxel_tpu.core.config import GridSpec, round_up
+from molvoxel_tpu.ops.dense import _axis_positions
 
 BIG = 1e30  # padded-voxel squared distance: density underflows to exactly 0
 _VMEM_BUDGET = 13 * 2**20
@@ -126,49 +126,26 @@ def _tiles(vp: int, cp: int, dl: int, hwp: int, streams: int):
     return ct, a, hwt
 
 
-def morton_keys(coords, spec, mask=None, bits: int = 5):
-    """(B, Vp) int32 Morton (Z-order) cell keys for spatial atom sorting.
+def _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset):
+    """Reorder atoms by (x-slab, y, z) cell so 128-lane chunks are spatially
+    local.
 
-    Morton order makes 128-lane chunks compact in *all three* axes (the
-    earlier lexicographic (x, y, z) key gave slab-shaped chunks — thin in x
-    but spanning the full box in y — whose depth ranges blew up whenever a
-    random rotation mapped the extended direction onto the depth axis).
-    Compactness is preserved by rigid transforms, which is what lets the
-    sort run *before* the random rotation/translation: once per molecule,
-    on the host or hoisted out of augmentation loops, instead of once per
-    augmented sample.  Padded atoms key to +inf-ish so they sort last.
+    Deposition is permutation-invariant, but the skip flags test whole
+    atom chunks: with arbitrary atom order a chunk of a protein spans the
+    entire box and every (chunk, tile, plane) is flagged active.  Lexicographic
+    cell sort makes chunks ~slab-local, so flags prune the vast majority of
+    the V x N work (the useful pairs are ~0.1% for protein-scale inputs).
+    Padded atoms sort to the end (key = +inf-ish).
     """
+    b, vp, _ = coords.shape
+    bits = 5
     cells = (1 << bits) - 1
     lb = jnp.asarray(spec.lower_bound, jnp.float32)
     scale = cells / jnp.asarray(max(spec.width, 1e-6), jnp.float32)
     cell = jnp.clip(((coords - lb) * scale), 0, cells).astype(jnp.int32)  # (B, Vp, 3)
-    key = jnp.zeros(coords.shape[:-1], jnp.int32)
-    for i in range(bits):  # interleave: x bits most significant
-        key = (
-            key
-            | (((cell[..., 0] >> i) & 1) << (3 * i + 2))
-            | (((cell[..., 1] >> i) & 1) << (3 * i + 1))
-            | (((cell[..., 2] >> i) & 1) << (3 * i))
-        )
+    key = (cell[..., 0] << (2 * bits)) | (cell[..., 1] << bits) | cell[..., 2]
     if mask is not None:
         key = jnp.where(mask, key, jnp.int32(1 << 30))
-    return key
-
-
-def _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset):
-    """Reorder atoms along a Morton curve so 128-lane chunks are spatially
-    local.
-
-    Deposition is permutation-invariant, but the plane ranges test whole
-    atom chunks: with arbitrary atom order a chunk of a protein spans the
-    entire box and every (chunk, tile, plane) is active.  The Morton cell
-    sort makes chunks ~cubical-local, so ranges prune the vast majority of
-    the V x N work (the useful pairs are ~0.1% for protein-scale inputs).
-    This is the TPU analog of the reference's host-side block binning
-    (/root/reference/molvoxel/voxelizer/numpy/voxelizer.py:496-527) without
-    its half-voxel boundary bug.
-    """
-    key = morton_keys(coords, spec, mask)
     order = jnp.argsort(key, axis=1)  # (B, Vp)
     take = lambda arr: jnp.take_along_axis(arr, order[..., None], axis=1) if arr.ndim == 3 else jnp.take_along_axis(arr, order, axis=1)
     coords = take(coords)
@@ -243,6 +220,12 @@ def _prepare_common(coords, weights, mask, spec, d_offset, d_count):
     if cp != c:
         wt = jnp.pad(wt, ((0, 0), (0, cp - c), (0, 0)))
     return dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp)
+
+
+def _rows(x):
+    """(B, Dl, Vp) -> (B, 1, Dl*Vp) row layout for (1, A) lane-blocked specs."""
+    b = x.shape[0]
+    return x.reshape(b, 1, -1)
 
 
 # ------------------------------------------------------------------- kernels
@@ -333,6 +316,34 @@ def _kernel_binary(flag_ref, thresh_ref, dyz2_ref, wt_ref, o_ref, *, dl: int, a:
     jax.lax.fori_loop(0, dl, body, 0)
 
 
+def _kernel_channelwise(dx2_ref, dyz2_ref, wt_ref, r2c_ref, coefc_ref, o_ref, *, ct: int, gaussian: bool):
+    vc = pl.program_id(3)
+    d = pl.program_id(4)
+    d2 = dyz2_ref[0] + dx2_ref[0]  # (HWt, A) + (1, A)
+    rows = []
+    for ci in range(ct):
+        r2 = r2c_ref[0, ci]
+        if gaussian:
+            dens = jnp.where(d2 <= r2, jnp.exp(d2 * coefc_ref[0, ci]), 0.0)
+        else:
+            dens = jnp.where(d2 <= r2, 1.0, 0.0)
+        rows.append(
+            jax.lax.dot_general(
+                wt_ref[0, ci : ci + 1, :], dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    acc = jnp.concatenate(rows, axis=0)  # (Ct, HWt)
+
+    @pl.when(vc == 0)
+    def _():
+        o_ref[0, :, pl.ds(d, 1), :] = acc[:, None, :]
+
+    @pl.when(vc > 0)
+    def _():
+        o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+
+
 def _row_tile(hw: int, w: int, target: int = 1024) -> int | None:
     """Whole-row hw tile: multiple of both W and 128, divides hw, <= ~target.
 
@@ -360,157 +371,189 @@ def _row_tile(hw: int, w: int, target: int = 1024) -> int | None:
     return best
 
 
-def _kernel_v5(range_ref, atom_ref, wt_ref, o_ref, acc_ref=None, *,
-               gaussian: bool, dl: int, a: int, ct: int, hwt: int, hrows: int, dim: int,
-               res: float, half_width: float, nvc: int, out_dtype=None, lowp: bool = False):
-    """v5: the kernel's only array inputs are per-atom rows.
+def _kernel_gaussian_v4(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, dz2_ref, wt_ref, o_ref, *,
+                        dl: int, a: int, ct: int, hwt: int, hrows: int):
+    """v4: dyz2/eyz rebuilt in-kernel from per-axis factors; depth loop runs
+    only the precomputed active plane range.
 
-    Everything the v4 kernel streamed from HBM — dy2/dz2 axis factors, the
-    (Dl*A) thresh/ex chunk rows — is rebuilt in-kernel from five (1, A)
-    per-atom rows [x', y, z, r^2, coef] and iota-derived voxel positions
-    (bit-identical arithmetic to the XLA axis construction: idx*res - w/2 in
-    f32).  Per (tile, chunk) step that cuts input DMA from O((Dl + H + W)*A)
-    to O(A) and deletes the XLA-side prep arrays entirely — measured, the
-    per-call prep (argsort relayouts + reach tensor) dominated the
-    protein-path floor (benchmarks/experiments/protein_probe3.py).
-
-    Depth handling: x' is pre-shifted by d_offset*res, so plane d's position
-    is always d*res - width/2; the cutoff becomes dyz2 <= r^2 - dx^2 with
-    dx = (d*res - w/2) - x', computed per active plane as (1, A) vectors
-    (the exp over (1, A) replaces a 24 KB DMA).  The active range [d_lo,
-    d_hi) comes precomputed in SMEM (closed form, _plane_ranges_closed).
-
-    Output: with ``acc_ref`` (cast mode) accumulation runs in an f32 VMEM
-    scratch and ONE aligned full-tile cast-store lands at the last atom
-    chunk — never a dynamic sublane store on a narrow ref (the documented
-    Mosaic crash).  ``lowp`` runs the per-plane matmul on bf16 inputs
-    (single MXU pass; quantization floor already 2^-8 with a bf16 output).
-    Without ``acc_ref`` the f32 out block is accumulated directly (RMW
-    stores are legal on f32) for bit-parity grids."""
+    HBM traffic per (tile, chunk) drops from O(HWt*A) streamed matrices to
+    O((hrows + W + Dl) * A) vectors; the exp runs once per tile on the VPU
+    (it is plane-independent).  The set of planes an atom chunk reaches is a
+    contiguous interval in d (thresh is a downward parabola), so instead of
+    per-plane flags the kernel loops [d_lo, d_hi) and skips everything —
+    including the dyz2/eyz construction — when the interval is empty."""
     vc = pl.program_id(3)
-    ht = pl.program_id(2)
-    cast = acc_ref is not None
 
     @pl.when(vc == 0)
     def _():
-        if cast:
-            acc_ref[...] = jnp.zeros((ct, dl, hwt), jnp.float32)
-        else:
-            o_ref[0] = jnp.zeros((ct, dl, hwt), jnp.float32)
+        o_ref[0] = jnp.zeros((ct, dl, hwt), jnp.float32)
 
     d_lo = range_ref[0, 0, 0]
     d_hi = range_ref[0, 0, 1]
 
     @pl.when(d_hi > d_lo)
     def _():
-        x = atom_ref[0, 0:1, :]  # (1, A), pre-shifted by d_offset*res
-        y = atom_ref[0, 1:2, :]
-        z = atom_ref[0, 2:3, :]
-        r2 = atom_ref[0, 3:4, :]
-        # tpu.iota is integer-only; index arithmetic in int32, then one cast
-        ay = (jax.lax.broadcasted_iota(jnp.int32, (hrows, 1), 0) + ht * hrows).astype(jnp.float32) * res - half_width
-        az = jax.lax.broadcasted_iota(jnp.int32, (dim, 1), 0).astype(jnp.float32) * res - half_width
-        dy2 = (ay - y) * (ay - y)  # (hrows, A)
-        dz2 = (az - z) * (az - z)  # (W, A)
+        dy2 = dy2_ref[0]  # (hrows, A)
+        dz2 = dz2_ref[0]  # (W, A)
         dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
+        eyz = jnp.exp(dyz2 * coef_ref[0])  # (HWt, A) * (1, A)
         wt = wt_ref[0]
-        if gaussian:
-            # exp(coef*dyz2) as exp(coef*dy2) (X) exp(coef*dz2): transcendentals
-            # over (hrows + W, A) vectors, not the (HWt, A) tile (~12x fewer;
-            # exp(a)*exp(b) vs exp(a+b) differs ~1e-7 relative, inside the
-            # golden budget; the cutoff compare below is exact either way).
-            coef = atom_ref[0, 4:5, :]
-            ey = jnp.exp(dy2 * coef)
-            ez = jnp.exp(dz2 * coef)
-            if lowp:
-                ey = ey.astype(jnp.bfloat16)
-                ez = ez.astype(jnp.bfloat16)
-            eyz = (ey[:, None, :] * ez[None, :, :]).reshape(hwt, a)
-        elif lowp:
-            wt = wt.astype(jnp.bfloat16)
 
         def body(d, carry):
-            dxv = (d.astype(jnp.float32) * res - half_width) - x  # (1, A)
-            dx2v = dxv * dxv
-            th = r2 - dx2v
-            if gaussian:
-                m = wt * jnp.exp(dx2v * coef)
-                if lowp:
-                    dens = jnp.where(dyz2 <= th, eyz, jnp.bfloat16(0.0))
-                    m = m.astype(jnp.bfloat16)
-                else:
-                    dens = jnp.where(dyz2 <= th, eyz, 0.0)
-            else:
-                m = wt
-                one = jnp.bfloat16(1.0) if lowp else 1.0
-                dens = jnp.where(dyz2 <= th, one, one * 0)
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            exr = ex_ref[0, 0:1, pl.ds(off, a)]
+            dens = jnp.where(dyz2 <= th, eyz, 0.0)
+            acc = jax.lax.dot_general(
+                wt * exr, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+            return carry
+
+        jax.lax.fori_loop(d_lo, d_hi, body, 0)
+
+
+def _kernel_gaussian_v4_cast(range_ref, thresh_ref, ex_ref, coef_ref, dy2_ref, dz2_ref, wt_ref,
+                             o_ref, acc_ref, *, dl: int, a: int, ct: int, hwt: int, hrows: int,
+                             nvc: int, out_dtype, lowp: bool):
+    """v4 with a reduced-precision output tile (the write-wall breaker).
+
+    The exact ligand path is bound by the out-block VMEM->HBM copy
+    (~160 GB/s on this chip; 4.19 MB of f32 grid = 21.3 us/mol floor,
+    docs/DESIGN.md).  Accumulation moves to an f32 VMEM scratch — same
+    per-plane RMW stores as the f32 kernel, which are legal on f32 — and the
+    *out block* becomes bf16, emitted as ONE aligned full-tile cast-store at
+    the last atom chunk.  No dynamic-slice store ever touches the bf16 ref
+    (1-wide sublane stores on bf16 blocks crash the Mosaic compiler).
+
+    ``lowp`` additionally runs the per-plane matmul on bf16 inputs (single
+    MXU pass vs HIGHEST's 6): with a bf16 output the quantization floor is
+    already 2^-8 relative, so the f32-accumulated bf16 matmul (~same error)
+    is free accuracy-wise and removes the compute term that would otherwise
+    replace the write as the bottleneck."""
+    vc = pl.program_id(3)
+
+    @pl.when(vc == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((ct, dl, hwt), jnp.float32)
+
+    d_lo = range_ref[0, 0, 0]
+    d_hi = range_ref[0, 0, 1]
+
+    @pl.when(d_hi > d_lo)
+    def _():
+        dy2 = dy2_ref[0]
+        dz2 = dz2_ref[0]
+        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
+        eyz = jnp.exp(dyz2 * coef_ref[0])
+        wt = wt_ref[0]
+        if lowp:
+            eyz = eyz.astype(jnp.bfloat16)
+
+        def body(d, carry):
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            exr = ex_ref[0, 0:1, pl.ds(off, a)]
             if lowp:
+                dens = jnp.where(dyz2 <= th, eyz, jnp.bfloat16(0.0))
+                m = (wt * exr).astype(jnp.bfloat16)
                 acc = jax.lax.dot_general(
                     m, dens, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             else:
+                dens = jnp.where(dyz2 <= th, eyz, 0.0)
                 acc = jax.lax.dot_general(
-                    m, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                    wt * exr, dens, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
                 )
-            if cast:
-                acc_ref[:, pl.ds(d, 1), :] += acc[:, None, :]
-            else:
-                o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+            acc_ref[:, pl.ds(d, 1), :] += acc[:, None, :]
             return carry
 
         jax.lax.fori_loop(d_lo, d_hi, body, 0)
 
-    if cast:
-        @pl.when(vc == nvc - 1)
-        def _():
-            o_ref[0] = acc_ref[...].astype(out_dtype)
+    @pl.when(vc == nvc - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(out_dtype)
 
 
-def _plane_ranges_closed(coords_shifted, r2, spec, dl, nhwt, hrows, a):
-    """(B*nhwt*nvc, 1, 2) int32 [d_lo, d_hi) active plane ranges, closed form.
+def _kernel_binary_v4_cast(range_ref, thresh_ref, dy2_ref, dz2_ref, wt_ref, o_ref, acc_ref, *,
+                           dl: int, a: int, ct: int, hwt: int, hrows: int, nvc: int,
+                           out_dtype, lowp: bool):
+    vc = pl.program_id(3)
 
-    Replaces the O(B*nhwt*Dl*Vp) boolean reach tensor (_plane_ranges_axes)
-    with O(B*nhwt*Vp) elementwise work: the minimum squared yz-distance from
-    an atom to an hw tile is distance-to-interval (continuous, i.e. a
-    conservative lower bound on the discrete voxel-center minimum), and the
-    depth planes an atom reaches solve |x - d*res + w/2| <= sqrt(r^2 - min)
-    directly.  A couple of ulps of slack widen the interval so float rounding
-    can only ever *add* a plane — the kernel's per-element cutoff compare is
-    exact, so conservative ranges cost at most one masked matmul.
+    @pl.when(vc == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((ct, dl, hwt), jnp.float32)
 
-    ``coords_shifted``: (B, Vp, 3) with x pre-shifted by d_offset*res (the
-    same rows the kernel sees); ``r2``: (B, Vp) with padded/masked atoms
-    already forced to tiny reach (their coords sit ~1e3 off-box, so the
-    interval is empty regardless).
-    """
-    b, vp, _ = coords_shifted.shape
-    res = float(spec.resolution)
-    lb = float(spec.lower_bound)
-    ub = float(spec.upper_bound)
-    x = coords_shifted[..., 0]
-    y = coords_shifted[..., 1]
-    z = coords_shifted[..., 2]
-    h_lo = lb + (jnp.arange(nhwt, dtype=jnp.float32) * hrows) * res  # (nhwt,)
-    h_hi = h_lo + (hrows - 1) * res
-    dy = jnp.maximum(jnp.maximum(h_lo[None, :, None] - y[:, None, :], y[:, None, :] - h_hi[None, :, None]), 0.0)
-    dz = jnp.maximum(jnp.maximum(lb - z, z - ub), 0.0)  # (B, Vp)
-    min_dyz2 = dy * dy + (dz * dz)[:, None, :]  # (B, nhwt, Vp)
-    s2 = r2[:, None, :] - min_dyz2
-    s = jnp.sqrt(jnp.maximum(s2, 0.0)) * 1.000002 + 1e-6  # ulp slack: conservative only
-    lo = jnp.ceil((x[:, None, :] - s - lb) / res)
-    hi = jnp.floor((x[:, None, :] + s - lb) / res) + 1.0
-    lo = jnp.clip(lo, 0.0, float(dl))
-    hi = jnp.clip(hi, 0.0, float(dl))
-    empty = s2 < 0.0
-    lo = jnp.where(empty, float(dl), lo).astype(jnp.int32)
-    hi = jnp.where(empty, 0.0, hi).astype(jnp.int32)
-    nvc = vp // a
-    lo = lo.reshape(b, nhwt, nvc, a).min(axis=3)
-    hi = hi.reshape(b, nhwt, nvc, a).max(axis=3)
-    hi = jnp.maximum(hi, lo)  # normalize all-empty chunks to d_hi == d_lo
-    return jnp.stack([lo, hi], axis=-1).reshape(b * nhwt * nvc, 1, 2)
+    d_lo = range_ref[0, 0, 0]
+    d_hi = range_ref[0, 0, 1]
+
+    @pl.when(d_hi > d_lo)
+    def _():
+        dy2 = dy2_ref[0]
+        dz2 = dz2_ref[0]
+        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
+        wt = wt_ref[0]
+        if lowp:
+            wt = wt.astype(jnp.bfloat16)
+
+        def body(d, carry):
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            if lowp:
+                dens = jnp.where(dyz2 <= th, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+                acc = jax.lax.dot_general(
+                    wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                dens = jnp.where(dyz2 <= th, 1.0, 0.0)
+                acc = jax.lax.dot_general(
+                    wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                )
+            acc_ref[:, pl.ds(d, 1), :] += acc[:, None, :]
+            return carry
+
+        jax.lax.fori_loop(d_lo, d_hi, body, 0)
+
+    @pl.when(vc == nvc - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(out_dtype)
+
+
+def _kernel_binary_v4(range_ref, thresh_ref, dy2_ref, dz2_ref, wt_ref, o_ref, *,
+                      dl: int, a: int, ct: int, hwt: int, hrows: int):
+    vc = pl.program_id(3)
+
+    @pl.when(vc == 0)
+    def _():
+        o_ref[0] = jnp.zeros((ct, dl, hwt), jnp.float32)
+
+    d_lo = range_ref[0, 0, 0]
+    d_hi = range_ref[0, 0, 1]
+
+    @pl.when(d_hi > d_lo)
+    def _():
+        dy2 = dy2_ref[0]
+        dz2 = dz2_ref[0]
+        dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
+        wt = wt_ref[0]
+
+        def body(d, carry):
+            off = pl.multiple_of(d * a, 128)
+            th = thresh_ref[0, 0:1, pl.ds(off, a)]
+            dens = jnp.where(dyz2 <= th, 1.0, 0.0)
+            acc = jax.lax.dot_general(
+                wt, dens, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            o_ref[0, :, pl.ds(d, 1), :] += acc[:, None, :]
+            return carry
+
+        jax.lax.fori_loop(d_lo, d_hi, body, 0)
 
 
 def _plane_ranges_axes(dy2_t, dz2_t, thresh, hwt, a):
@@ -563,9 +606,7 @@ def _skip_flags3(dyz2_t, thresh, hwt, a):
     return jnp.swapaxes(flags, 2, 3).reshape(b * nhwt * nvc, 1, dl).astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count", "out_dtype", "presorted")
-)
+@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count", "out_dtype"))
 def voxelize_pallas_batch(
     coords: jnp.ndarray,  # (B, Vp, 3)
     weights: jnp.ndarray,  # (B, Vp, C)
@@ -578,20 +619,14 @@ def voxelize_pallas_batch(
     d_offset=0,
     d_count: int | None = None,
     out_dtype: str = "float32",
-    presorted: bool = False,
 ) -> jnp.ndarray:
     """Batched fused deposit -> (B, C, Dl, H, W).  Per-atom radii.
 
     ``out_dtype``: "float32" (parity default) or "bfloat16".  bf16 grids halve
     the output-write bytes — the measured wall of the exact ligand path (see
-    _kernel_v5) — and are the natural input dtype for CNN training consumers;
-    accumulation stays f32 in VMEM, only the final HBM tile is cast.
-
-    ``presorted``: atoms already arrive in spatially-local order (Morton; the
-    data pipeline sorts once per molecule on the host, or voxelize_batch
-    sorts pre-transform).  Skips the in-graph argsort, which is a bitonic
-    network on TPU and was the single largest term of the protein-path cost
-    (~200 us/mol of 367, benchmarks/experiments/protein_probe3.py)."""
+    _kernel_gaussian_v4_cast) — and are the natural input dtype for CNN
+    training consumers; accumulation stays f32 in VMEM, only the final HBM
+    tile is cast."""
     gaussian = density_type == "gaussian"
     b, vp, c = weights.shape
     radii = jnp.asarray(radii, jnp.float32)
@@ -609,7 +644,7 @@ def voxelize_pallas_batch(
         if mask is not None:
             mask = jnp.pad(mask, ((0, 0), (0, vpad)))
         vp += vpad
-    if vp > 128 and not presorted:
+    if vp > 128:
         coords, weights, radii, mask = _sort_atoms_spatially(coords, weights, radii, mask, spec, d_offset)
     dim = spec.dimension
     dl_eff = dim if d_count is None else d_count
@@ -617,7 +652,7 @@ def voxelize_pallas_batch(
     if hwt_rows is not None and 8 * dl_eff * hwt_rows * 4 > _OUT_BUDGET:
         hwt_rows = None  # whole-row tile can't fit VMEM (e.g. unsliced 256^3): stream tiles instead
     if hwt_rows is not None:
-        return _run_v5(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt_rows,
+        return _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt_rows,
                        out_dtype=out_dtype)
     # fallback for grids whose H*W is not 128-aligned: streamed dyz2/eyz tiles
     dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
@@ -677,36 +712,16 @@ def voxelize_pallas_batch(
     return out if out_dtype == "float32" else out.astype(out_dtype)
 
 
-def _run_v5(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt,
+def _run_v4(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt,
             out_dtype: str = "float32"):
-    """v5 launch: per-atom rows only; axis factors rebuilt in-kernel.
-
-    XLA-side prep is O(V): shift x by the depth slab, transpose weights,
-    stack five per-atom rows into one (B, 8, Vp) block, closed-form ranges.
-    No O(Dl*Vp) or O(H*Vp) arrays exist anywhere (see _kernel_v5)."""
-    b, vp, c = weights.shape
-    dim = spec.dimension
-    dl = dim if d_count is None else d_count
-    hw = dim * dim
-    cp = round_up(max(c, 1), 8)
-    res = float(spec.resolution)
-    half_width = float(spec.width / 2.0)
-
-    wt = jnp.swapaxes(weights, 1, 2).astype(jnp.float32)  # (B, Cp, Vp)
-    if mask is not None:
-        wt = jnp.where(mask[:, None, :], wt, 0.0)
-    if cp != c:
-        wt = jnp.pad(wt, ((0, 0), (0, cp - c), (0, 0)))
-
+    """v4 launch: per-axis inputs only, dyz2/eyz rebuilt in-kernel."""
+    dx2, dy2_t, dz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_axes(
+        coords, weights, mask, spec, d_offset, d_count
+    )
     r2 = radii * radii
     if mask is not None:
         r2 = jnp.where(mask, r2, 1.0)
-    xs = coords[..., 0] - jnp.asarray(d_offset, jnp.float32) * res  # slab-shifted x
-    zero = jnp.zeros_like(r2)
-    coef = -(0.5 / (sigma * sigma)) / r2 if gaussian else zero
-    atom_rows = jnp.stack(
-        [xs, coords[..., 1], coords[..., 2], r2, coef, zero, zero, zero], axis=1
-    )  # (B, 8, Vp)
+    thresh = r2[:, None, :] - dx2  # (B, Dl, Vp)
 
     cast = out_dtype != "float32"
     odt = jnp.dtype(out_dtype)
@@ -720,42 +735,71 @@ def _run_v5(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_cou
     hrows = hwt // dim
     grid = (b, cp // ct, nhwt, nvc)
 
-    coords_shifted = jnp.stack([xs, coords[..., 1], coords[..., 2]], axis=-1)
-    ranges = _plane_ranges_closed(coords_shifted, r2, spec, dl, nhwt, hrows, a)
+    ranges = _plane_ranges_axes(dy2_t, dz2_t, thresh, hwt, a)  # (B*nhwt*nvc, 1, 2)
+    thresh_rows = _chunk_rows(thresh, a)  # (B*nvc, 1, Dl*A)
     range_spec = pl.BlockSpec(
         (1, 1, 2), lambda bb, cb, ht, vc: ((bb * nhwt + ht) * nvc + vc, 0, 0), memory_space=pltpu.SMEM
     )
-    atom_spec = pl.BlockSpec((1, 8, a), lambda bb, cb, ht, vc: (bb, 0, vc), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, dl * a), lambda bb, cb, ht, vc: (bb * nvc + vc, 0, 0), memory_space=pltpu.VMEM)
+    dy2_spec = pl.BlockSpec((1, hrows, a), lambda bb, cb, ht, vc: (bb, ht, vc), memory_space=pltpu.VMEM)
+    dz2_spec = pl.BlockSpec((1, dim, a), lambda bb, cb, ht, vc: (bb, 0, vc), memory_space=pltpu.VMEM)
     wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht, vc: (bb, cb, vc), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht, vc: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * b * cp * vp * dl * hw + 2 * b * vp * dl * hw,
-        bytes_accessed=b * vp * 8 * 4 + b * cp * dl * hw * odt.itemsize,
+        bytes_accessed=b * vp * (dim * 2 + dl) * 4 + b * cp * dl * hw * 4,
         transcendentals=b * (cp // ct) * vp * hw if gaussian else 0,
     )
 
     scratch = [pltpu.VMEM((ct, dl, hwt), jnp.float32)] if cast else []
     lowp = cast  # bf16 out -> bf16-input matmul: quantization floor already 2^-8
-    kernel = functools.partial(
-        _kernel_v5, gaussian=gaussian, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows, dim=dim,
-        res=res, half_width=half_width, nvc=nvc, out_dtype=odt, lowp=lowp,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[range_spec, atom_spec, wt_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), odt if cast else jnp.float32),
-        scratch_shapes=scratch,
-        cost_estimate=cost,
-        interpret=_interpret(),
-    )(ranges, atom_rows, wt)
+    if gaussian:
+        coef = -(0.5 / (sigma * sigma)) / r2  # (B, Vp)
+        ex_rows = _chunk_rows(jnp.exp(dx2 * coef[:, None, :]), a)
+        coef_chunks = coef.reshape(b, nvc, a).reshape(b * nvc, 1, a)
+        if cast:
+            kernel = functools.partial(_kernel_gaussian_v4_cast, dl=dl, a=a, ct=ct, hwt=hwt,
+                                       hrows=hrows, nvc=nvc, out_dtype=odt, lowp=lowp)
+        else:
+            kernel = functools.partial(_kernel_gaussian_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                range_spec,
+                row_spec,
+                row_spec,
+                pl.BlockSpec((1, 1, a), lambda bb, cb, ht, vc: (bb * nvc + vc, 0, 0), memory_space=pltpu.VMEM),
+                dy2_spec,
+                dz2_spec,
+                wt_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), odt if cast else jnp.float32),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(ranges, thresh_rows, ex_rows, coef_chunks, dy2_t, dz2_t, wt)
+    else:
+        if cast:
+            kernel = functools.partial(_kernel_binary_v4_cast, dl=dl, a=a, ct=ct, hwt=hwt,
+                                       hrows=hrows, nvc=nvc, out_dtype=odt, lowp=lowp)
+        else:
+            kernel = functools.partial(_kernel_binary_v4, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[range_spec, row_spec, dy2_spec, dz2_spec, wt_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, cp, dl, hw), odt if cast else jnp.float32),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(ranges, thresh_rows, dy2_t, dz2_t, wt)
     return out[:, :c, :, :].reshape(b, c, dl, dim, dim)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count", "out_dtype", "presorted")
-)
+@functools.partial(jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count"))
 def voxelize_pallas_batch_channelwise(
     coords: jnp.ndarray,
     weights: jnp.ndarray,
@@ -767,44 +811,51 @@ def voxelize_pallas_batch_channelwise(
     mask: jnp.ndarray | None = None,
     d_offset=0,
     d_count: int | None = None,
-    out_dtype: str = "float32",
-    presorted: bool = False,
 ) -> jnp.ndarray:
-    """Batched fused deposit with channel-wise radii ((C,) shared).
-
-    Channel expansion: atom ``v`` depositing into channel ``c`` with radius
-    ``r_c`` is a *virtual atom* — same position, radius ``r_c``, weight only
-    in channel ``c``.  Expanding (B, Vp) atoms to (B, C*Vp) virtual atoms
-    with block-diagonal weights turns channel-wise radii into the plain
-    per-atom problem, so the whole request runs on the measured-optimal v5
-    atom-wise kernel (closed-form ranges, Morton chunk locality, bf16/fp8
-    cast-store) instead of a separate kernel.  Semantics are exactly the
-    reference's per-channel loop (its channel-wise path recomputes the
-    density per channel with that channel's radius,
-    /root/reference/molvoxel/voxelizer/numpy/voxelizer.py:213-224); the v2
-    per-plane-grid kernel this replaced had no pruning and ran ~Dl x more
-    grid steps (VERDICT r2 weak #5).
-
-    Note the work is genuinely C x the atom-wise path (each atom evaluates C
-    different cutoffs/densities) — identical to the reference's semantics —
-    but pruning now skips the vast majority of (virtual chunk, tile, plane)
-    triples because a chunk's virtual atoms share one radius and, after the
-    Morton sort, one locale.
-    """
-    b, vp, c = weights.shape
-    radii = jnp.asarray(radii, jnp.float32)
-    coords_x = jnp.tile(coords, (1, c, 1))  # (B, C*Vp, 3)
-    radii_x = jnp.repeat(radii, vp)  # (C*Vp,): virtual chunk ci has radius r_ci
-    # block-diagonal weights: virtual atom ci*Vp+v -> channel ci only
-    wx = jnp.zeros((b, c * vp, c), weights.dtype)
-    for ci in range(c):
-        wx = wx.at[:, ci * vp : (ci + 1) * vp, ci].set(weights[:, :, ci])
-    mask_x = jnp.tile(mask, (1, c)) if mask is not None else None
-    return voxelize_pallas_batch(
-        coords_x, wx, radii_x,
-        spec=spec, density_type=density_type, sigma=sigma, mask=mask_x,
-        d_offset=d_offset, d_count=d_count, out_dtype=out_dtype, presorted=presorted,
+    """Batched fused deposit with channel-wise radii ((C,) shared)."""
+    gaussian = density_type == "gaussian"
+    vp0 = coords.shape[1]
+    vpad = round_up(vp0, 128) - vp0  # lane-width padding, see voxelize_pallas_batch
+    if vpad:
+        coords = jnp.pad(coords, ((0, 0), (0, vpad), (0, 0)), constant_values=1e3)
+        weights = jnp.pad(weights, ((0, 0), (0, vpad), (0, 0)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, vpad)))
+    dx2, dyz2_t, wt, (b, vp, c, cp, dim, dl, hw, hwp) = _prepare_common(
+        coords, weights, mask, spec, d_offset, d_count
     )
+
+    r2c = jnp.pad((radii * radii).astype(jnp.float32), (0, cp - c), constant_values=1.0)  # (Cp,)
+    coefc = -(0.5 / (sigma * sigma)) / r2c
+    r2c = jnp.broadcast_to(r2c[None, :], (b, cp))
+    coefc = jnp.broadcast_to(coefc[None, :], (b, cp))
+
+    ct, a, hwt = _tiles(vp, cp, dl, hwp, 1)
+    nvc = vp // a
+    grid = (b, cp // ct, hwp // hwt, nvc, dl)
+
+    dx2_rows = _rows(dx2)
+    row_spec = pl.BlockSpec((1, 1, a), lambda bb, cb, ht, vc, d: (bb, 0, d * nvc + vc), memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, hwt, a), lambda bb, cb, ht, vc, d: (bb, ht, vc), memory_space=pltpu.VMEM)
+    wt_spec = pl.BlockSpec((1, ct, a), lambda bb, cb, ht, vc, d: (bb, cb, vc), memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec((1, ct), lambda bb, cb, ht, vc, d: (bb, cb), memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, ct, dl, hwt), lambda bb, cb, ht, vc, d: (bb, cb, 0, ht), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_channelwise, ct=ct, gaussian=gaussian)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec, tile_spec, wt_spec, scal_spec, scal_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, cp, dl, hwp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * cp * vp * dl * hwp + 6 * b * cp * vp * dl * hwp,
+            bytes_accessed=b * (cp // ct) * vp * hwp * 4 + b * cp * dl * hwp * 4,
+            transcendentals=b * cp * vp * dl * hwp if gaussian else 0,
+        ),
+        interpret=_interpret(),
+    )(dx2_rows, dyz2_t, wt, r2c, coefc)
+    return out[:, :c, :, :hw].reshape(b, c, dl, dim, dim)
 
 
 # ------------------------------------------------- single-molecule wrappers

@@ -1,0 +1,147 @@
+"""Round-3 probe 1: (a) fp8 out-tile feasibility, (b) v5 vs round-2a v4 A/B
+on the ligand workload — chasing the 93.9k -> 87.5k drift (VERDICT weak #1).
+
+Run: timeout 580 python benchmarks/experiments/r3_probe1.py
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from molvoxel_tpu.utils.timing import enable_compilation_cache
+
+enable_compilation_cache(".jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+from molvoxel_tpu.core.config import GridSpec
+from molvoxel_tpu.data.parsers import read_sdf
+
+spec = GridSpec(resolution=0.5, dimension=64)
+BATCH, VP = 64, 64
+
+lig = read_sdf("/root/reference/test/10gs/10gs_ligand.sdf")
+lc = (lig.coords - lig.coords.mean(0)).astype(np.float32)
+v, c = lc.shape[0], 4
+rng = np.random.default_rng(0)
+coords = np.zeros((BATCH, VP, 3), np.float32)
+coords[:, :v] = lc[None]
+weights = np.zeros((BATCH, VP, c), np.float32)
+weights[:, :v] = (rng.uniform(size=(BATCH, v, c)) < 0.3).astype(np.float32)
+mask = np.zeros((BATCH, VP), bool)
+mask[:, :v] = True
+coords, weights, mask = jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(mask)
+radii = jnp.ones((VP,), jnp.float32)
+
+
+def fp8_store_microtest():
+    """Does Mosaic accept an fp8 (e4m3) out block with a full-tile cast-store?"""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    for dt_name in ("float8_e4m3fn", "float8_e5m2"):
+        try:
+            dt = jnp.dtype(dt_name)
+
+            def kern(x_ref, o_ref, acc_ref):
+                acc_ref[...] = x_ref[...] * 2.0
+                o_ref[...] = acc_ref[...].astype(dt)
+
+            x = jnp.arange(8 * 256, dtype=jnp.float32).reshape(8, 256) / 1024.0
+            out = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((8, 256), dt),
+                scratch_shapes=[pltpu.VMEM((8, 256), jnp.float32)],
+            )(x)
+            got = np.asarray(out.astype(jnp.float32))
+            want = np.asarray(x) * 2.0
+            rel = np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-6))
+            print(f"fp8 store [{dt_name}]: OK  maxrel={rel:.4f}")
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).split("\n")[0][:160]
+            print(f"fp8 store [{dt_name}]: FAIL  {type(e).__name__}: {msg}")
+
+
+def int8_store_microtest():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    try:
+        def kern(x_ref, o_ref, acc_ref):
+            acc_ref[...] = x_ref[...] * 100.0
+            o_ref[...] = jnp.round(acc_ref[...]).astype(jnp.int8)
+
+        x = jnp.arange(8 * 256, dtype=jnp.float32).reshape(8, 256) / (8 * 256.0)
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((8, 256), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((8, 256), jnp.float32)],
+        )(x)
+        got = np.asarray(out).astype(np.float32)
+        want = np.round(np.asarray(x) * 100.0)
+        print(f"int8 store: OK  maxerr={np.max(np.abs(got - want)):.3f}")
+    except Exception as e:  # noqa: BLE001
+        print(f"int8 store: FAIL  {type(e).__name__}: {str(e).splitlines()[0][:160]}")
+
+
+def make_loop(vox_batch_fn, out_dtype):
+    from molvoxel_tpu.core.transform import do_random_transform
+    from molvoxel_tpu.ops.batch import _choose_pack, _packed_batch
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def bench_loop(key, n):
+        def body(i, acc):
+            keys = jax.random.split(jax.random.fold_in(key, i), BATCH)
+            crd = jax.vmap(lambda k, cc: do_random_transform(k, cc, None, 0.5, True))(keys, coords)
+            pack = _choose_pack(VP, c)
+            fn = functools.partial(
+                vox_batch_fn, spec=spec, density_type="gaussian", sigma=0.5, out_dtype=out_dtype
+            )
+            if pack > 1:
+                out = _packed_batch(fn, crd, weights, radii, mask, pack)
+            else:
+                out = fn(crd, weights, radii, mask=mask)
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
+
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    return bench_loop
+
+
+def measure(bench_loop, iters=65):
+    def run(n):
+        t0 = time.time()
+        float(bench_loop(jax.random.PRNGKey(n), n))
+        return time.time() - t0
+
+    run(1)
+    run(iters)
+    base = min(run(1) for _ in range(3))
+    best = min(run(iters) for _ in range(3))
+    per = (best - base) / ((iters - 1) * BATCH)
+    return per * 1e6, 1.0 / per
+
+
+if __name__ == "__main__":
+    print(f"devices: {jax.devices()}")
+    fp8_store_microtest()
+    int8_store_microtest()
+
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_batch as v5
+
+    us, rate = measure(make_loop(v5, "bfloat16"))
+    print(f"v5  bf16: {us:7.2f} us/mol  {rate:9.0f} mols/s")
+
+    from benchmarks.experiments import _snapshot_2a as s2a
+
+    us, rate = measure(make_loop(s2a.voxelize_pallas_batch, "bfloat16"))
+    print(f"2a  bf16: {us:7.2f} us/mol  {rate:9.0f} mols/s")
+
+    us, rate = measure(make_loop(v5, "float32"), iters=33)
+    print(f"v5  f32 : {us:7.2f} us/mol  {rate:9.0f} mols/s")
+    us, rate = measure(make_loop(s2a.voxelize_pallas_batch, "float32"), iters=33)
+    print(f"2a  f32 : {us:7.2f} us/mol  {rate:9.0f} mols/s")

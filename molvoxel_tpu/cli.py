@@ -63,9 +63,23 @@ def _cmd_voxelize(args) -> int:
     path = Path(args.input)
     symbols = [s.strip() for s in args.channels.split(",")]
     spec = GridSpec(resolution=args.resolution, dimension=args.dimension)
+
+    # Fast lane: SDF + atom-type channels goes through the vectorized feeder
+    # (native parse -> columnar batch assembly, data/feed.py) with no
+    # per-molecule Python.  Bond channels / PDB use the maker path.
+    use_feeder = path.suffix in (".sdf", ".mol") and not args.bonds and args.center == "auto"
+
+    if args.throughput:
+        if not use_feeder:
+            raise SystemExit("--throughput needs the SDF fast lane (no --bonds, --center auto)")
+        return _run_throughput(args, spec, path, symbols)
+
+    # --batch default is mode-dependent (64 for grids, 4096 for --throughput);
+    # None = unset so an explicit --batch 64 is honored in every mode.
+    batch_size = args.batch if args.batch is not None else 64
     sv = StreamingVoxelizer(
         spec,
-        batch_size=args.batch,
+        batch_size=batch_size,
         density_type=args.density,
         sigma=args.sigma,
         radii=args.radii,
@@ -73,29 +87,30 @@ def _cmd_voxelize(args) -> int:
         random_rotation=args.random_rotation,
         seed=args.seed,
         out_dtype=args.out_dtype,
-        materialize=args.throughput,
+        presorted=args.presort and use_feeder,  # maker-path batches are unsorted
     )
 
-    # Fast lane: SDF + atom-type channels goes through the vectorized feeder
-    # (native parse -> columnar batch assembly, data/feed.py) with no
-    # per-molecule Python.  Bond channels / PDB use the maker path.
-    use_feeder = path.suffix in (".sdf", ".mol") and not args.bonds and args.center == "auto"
+    feeder = None
+    mols = None
+    if use_feeder:
+        from .data.feed import SDFBatchFeeder
+
+        feeder = SDFBatchFeeder(
+            path, symbols,
+            batch_size=batch_size, unknown=args.unknown,
+            keep_hydrogens=args.hydrogens, workers=args.workers,
+            presort=args.presort, spec=spec if args.presort else None,
+        )
+    else:
+        mols = _load_molecules(path, args.hydrogens)
 
     def batches():
-        if use_feeder:
-            from .data.feed import SDFBatchFeeder
-
-            feeder = SDFBatchFeeder(
-                path, symbols,
-                batch_size=args.batch, unknown=args.unknown,
-                keep_hydrogens=args.hydrogens, workers=args.workers,
-            )
+        if feeder is not None:
             yield from feeder
         else:
             from .data import AtomTypeGetter, BondTypeGetter, MolPointCloudMaker
             from .data.pipeline import iter_batches
 
-            mols = _load_molecules(path, args.hydrogens)
             atom_getter = AtomTypeGetter(symbols, unknown=args.unknown)
             bond_getter = BondTypeGetter.default() if args.bonds else None
             maker = MolPointCloudMaker(atom_getter, bond_getter, channel_type="features")
@@ -106,33 +121,83 @@ def _cmd_voxelize(args) -> int:
                     center = coords.mean(0) if args.center == "auto" else np.zeros(3)
                     yield (coords - center).astype(np.float32), feats.astype(np.float32)
 
-            yield from iter_batches(clouds(), args.batch)
+            yield from iter_batches(clouds(), batch_size)
 
     channel_names = symbols + (["Unknown"] if args.unknown else [])
     if args.bonds:
         channel_names += ["SingleBond", "DoubleBond", "TripleBond", "AromaticBond"]
 
-    if args.throughput:
-        if not use_feeder:
-            raise SystemExit("--throughput needs the SDF fast lane (no --bonds, --center auto)")
-        return _run_throughput(args, spec, path, symbols)
+    if args.output:
+        return _run_grids_streamed(args, sv, batches, feeder, mols, channel_names)
 
     results = []
+    num_atoms = []
     t0 = time.time()
-    stats = sv.run_batches(batches(), lambda images, batch: results.append(np.asarray(images)))
+    stats = sv.run_batches(
+        batches(),
+        lambda images, batch: (results.append(np.asarray(images)), num_atoms.append(batch.num_atoms)),
+    )
     if not results:
         raise SystemExit("no molecules parsed")
-    grids = np.concatenate(results, axis=0)[: stats.molecules]
+    # Truncate by real record slots, not by non-empty-molecule count: a 0-atom
+    # record (e.g. all-H after filtering) occupies a mid-stream slot, so
+    # stats.molecules undercounts and would drop the last real grid
+    # (ADVICE r2).  Only the feeder's tail padding is virtual.
+    n_real = feeder.records_fed if feeder is not None else len(mols)
+    grids = np.concatenate(results, axis=0)[:n_real]
     print(
-        f"voxelized {stats.molecules} molecules in {time.time() - t0:.2f}s "
+        f"voxelized {stats.molecules} molecules ({n_real} records) in {time.time() - t0:.2f}s "
         f"-> grids {grids.shape}",
         file=sys.stderr,
     )
 
-    if args.output:
-        # np.savez_compressed silently appends .npz to other extensions;
-        # report the path that actually exists
-        out_path = args.output if args.output.endswith(".npz") else args.output + ".npz"
+    if args.dx:
+        channel_dict = {name: grids[0, i] for i, name in enumerate(channel_names)}
+        paths = write_channels_dx(args.dx, channel_dict, [0, 0, 0], args.resolution)
+        print(f"wrote {len(paths)} .dx volumes to {args.dx}", file=sys.stderr)
+    if not args.dx:
+        print(json.dumps({"molecules": int(stats.molecules), "shape": list(grids.shape)}))
+    return 0
+
+
+def _run_grids_streamed(args, sv, batches, feeder, mols, channel_names) -> int:
+    """Write grids as a sharded store with bounded host memory.
+
+    The accumulate-then-concatenate path needed O(file) host RAM (a 50k-mol
+    64^3 x 4ch f32 run = ~52 GB).  Here each device batch is flushed to its
+    own ``.npy`` shard as soon as it lands, so peak memory is O(batch);
+    ``manifest.json`` + ``channels.json`` describe the store and
+    ``viz.shards.read_grid_shards`` / ``GridShardReader`` reassemble it.
+    A single ``.npz`` output stays available for small runs (< --npz-limit
+    molecules) since it is the more convenient artifact.
+    """
+    import time as _time
+
+    from .data.gridstore import GridShardWriter
+
+    t0 = _time.time()
+    out = Path(args.output)
+    as_shards = out.suffix not in (".npz",) or args.shards
+    if not as_shards:
+        # small-run convenience path: one .npz (bounded by --npz-limit)
+        results = []
+        count = 0
+
+        def consume(images, batch):
+            nonlocal count
+            results.append(np.asarray(images))
+            count += images.shape[0]
+            if count > args.npz_limit:
+                raise SystemExit(
+                    f"more than --npz-limit={args.npz_limit} molecules; "
+                    "write a sharded store instead (-o outdir/ or --shards)"
+                )
+
+        stats = sv.run_batches(batches(), consume)
+        if not results:
+            raise SystemExit("no molecules parsed")
+        n_real = feeder.records_fed if feeder is not None else len(mols)
+        grids = np.concatenate(results, axis=0)[:n_real]
         np.savez_compressed(
             args.output,
             grids=grids,
@@ -140,14 +205,45 @@ def _cmd_voxelize(args) -> int:
             resolution=np.float32(args.resolution),
             dimension=np.int32(args.dimension),
         )
-        print(f"wrote {out_path}", file=sys.stderr)
-    if args.dx:
-        channel_dict = {name: grids[0, i] for i, name in enumerate(channel_names)}
-        paths = write_channels_dx(args.dx, channel_dict, [0, 0, 0], args.resolution)
-        print(f"wrote {len(paths)} .dx volumes to {args.dx}", file=sys.stderr)
-    if not args.output and not args.dx:
-        print(json.dumps({"molecules": int(stats.molecules), "shape": list(grids.shape)}))
+        out_path = args.output if args.output.endswith(".npz") else args.output + ".npz"
+        print(
+            f"voxelized {stats.molecules} molecules ({n_real} records) in "
+            f"{_time.time() - t0:.2f}s -> {out_path}",
+            file=sys.stderr,
+        )
+        _maybe_dx(args, grids[0] if len(grids) else None, channel_names)
+        return 0
+
+    writer = GridShardWriter(
+        out, channel_names, resolution=args.resolution, dimension=args.dimension
+    )
+    with writer:
+        stats = sv.run_batches(
+            batches(), lambda images, batch: writer.append(np.asarray(images), batch.num_atoms)
+        )
+        n_real = feeder.records_fed if feeder is not None else len(mols)
+        writer.finalize(n_real)
+    print(
+        f"voxelized {stats.molecules} molecules ({n_real} records) in "
+        f"{_time.time() - t0:.2f}s -> {writer.num_shards} shards under {out}",
+        file=sys.stderr,
+    )
+    if args.dx and n_real:
+        from .data.gridstore import GridShardReader
+
+        _maybe_dx(args, GridShardReader(out)[0], channel_names)
     return 0
+
+
+def _maybe_dx(args, grid0, channel_names) -> None:
+    if not args.dx or grid0 is None:
+        return
+    from .viz.dx import write_channels_dx
+
+    grid0 = np.asarray(grid0, np.float32)
+    channel_dict = {name: grid0[i] for i, name in enumerate(channel_names)}
+    paths = write_channels_dx(args.dx, channel_dict, [0, 0, 0], args.resolution)
+    print(f"wrote {len(paths)} .dx volumes to {args.dx}", file=sys.stderr)
 
 
 def _run_throughput(args, spec, path, symbols) -> int:
@@ -168,9 +264,9 @@ def _run_throughput(args, spec, path, symbols) -> int:
     from .data.feed import SDFBatchFeeder, prefetch_iter
     from .parallel.stream import stream_checksum
 
-    # default --batch is sized for grids-out mode; measured sweep on-chip:
-    # superbatch 4096 (13 overlap units on 50k mols) > 8192 > 16384
-    batch = 4096 if args.batch == 64 else args.batch
+    # mode-dependent default: measured sweep on-chip says superbatch 4096
+    # (13 overlap units on 50k mols) > 8192 > 16384; an explicit --batch wins
+    batch = args.batch if args.batch is not None else 4096
     chunk = min(args.chunk, batch)
     superbatch = max(batch, chunk) // chunk * chunk
 
@@ -179,6 +275,7 @@ def _run_throughput(args, spec, path, symbols) -> int:
             path, symbols,
             batch_size=superbatch, unknown=args.unknown,
             keep_hydrogens=args.hydrogens, workers=args.workers, compact=True,
+            presort=args.presort, spec=spec if args.presort else None,
         )
         t0 = time.time()
         stats, checksum = stream_checksum(
@@ -186,7 +283,7 @@ def _run_throughput(args, spec, path, symbols) -> int:
             chunk=chunk, density_type=args.density, sigma=args.sigma,
             radii=args.radii, random_translation=args.random_translation,
             random_rotation=args.random_rotation, out_dtype=args.out_dtype,
-            seed=seed,
+            seed=seed, presorted=args.presort,
         )
         return stats, time.time() - t0, checksum
 
@@ -243,13 +340,30 @@ def main(argv=None) -> int:
     pv.add_argument("--bonds", action="store_true", help="add bond-midpoint channels")
     pv.add_argument("--hydrogens", action="store_true", help="keep hydrogens")
     pv.add_argument("--center", default="auto", choices=["auto", "origin"])
-    pv.add_argument("--batch", type=int, default=64)
+    pv.add_argument(
+        "--batch", type=int, default=None,
+        help="batch size (default: 64 for grids output, 4096 superbatch for --throughput)",
+    )
     pv.add_argument("--random-translation", type=float, default=0.0)
     pv.add_argument("--random-rotation", action="store_true")
     pv.add_argument("--seed", type=int, default=0)
     pv.add_argument("--workers", type=int, default=2, help="parser threads for the vectorized SDF feeder")
     pv.add_argument("--chunk", type=int, default=256, help="in-graph scan chunk for --throughput")
     pv.add_argument("--out-dtype", default="float32", choices=["float32", "bfloat16"])
+    pv.add_argument(
+        "--presort",
+        action="store_true",
+        help="Morton-sort atoms on the host (skips the in-graph sort; pays off for >128-atom buckets)",
+    )
+    pv.add_argument(
+        "--shards",
+        action="store_true",
+        help="force the sharded bounded-memory grid store even for .npz-suffixed -o paths",
+    )
+    pv.add_argument(
+        "--npz-limit", type=int, default=20000,
+        help="max molecules for single-.npz output; larger runs must use the sharded store",
+    )
     pv.add_argument(
         "--throughput",
         action="store_true",

@@ -48,29 +48,46 @@ def prefetch_iter(it, depth: int = 2):
     Decouples the producer (batch assembly — numpy work that holds the GIL
     in bursts) from the consumer (device dispatch — mostly I/O waiting on the
     tunnel): the next superbatch is assembled while the device crunches the
-    previous one.  Exceptions propagate to the consumer."""
+    previous one.  Exceptions propagate to the consumer.  If the consumer
+    abandons the generator early (``close()`` / GC), the worker notices via a
+    cancellation flag and exits instead of blocking forever on a full queue.
+    """
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    cancelled = threading.Event()
+
+    def put(obj) -> bool:
+        while not cancelled.is_set():
+            try:
+                q.put(obj, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(sentinel)
+                if not put(item):
+                    return
+            put(sentinel)
         except BaseException as exc:  # noqa: BLE001 — re-raised on the consumer side
-            q.put(exc)
+            put(exc)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancelled.set()
 
 
 def map_symbols(symbols: np.ndarray, symbol_table: dict[str, int], unknown: int | None = None) -> np.ndarray:
@@ -283,15 +300,17 @@ def morton_presort(batch: PaddedBatch, spec) -> PaddedBatch:
         )
     key = np.where(batch.mask, key, np.int32(1 << 30))
     order = np.argsort(key, axis=1, kind="stable")
-    take2 = lambda a: np.take_along_axis(a, order, axis=1)
-    take3 = lambda a: np.take_along_axis(a, order[..., None], axis=1)
+    take2 = lambda a: None if a is None else np.take_along_axis(a, order, axis=1)
+    take3 = lambda a: None if a is None else np.take_along_axis(a, order[..., None], axis=1)
     return PaddedBatch(
         take3(batch.coords),
         take3(batch.weights),
         take2(batch.mask),
-        None if batch.radii is None else take2(batch.radii),
+        take2(batch.radii),
         batch.centers,
         batch.num_atoms,
+        types=take2(batch.types),
+        num_channels=batch.num_channels,
     )
 
 
@@ -339,7 +358,8 @@ def _parse_shard_python(chunk: bytes, symbol_table, unknown, keep_hydrogens) -> 
         if len(syms) == 0:
             parts.append(FlatClouds(np.zeros((0, 3), np.float32), np.zeros(0, np.int32), np.zeros(1, np.int64)))
             continue
-        keep = np.ones(len(syms), bool) if keep_hydrogens else syms != b"H"
+        # same rule as flat_clouds / SimpleMolecule.without_hydrogens: H and D
+        keep = np.ones(len(syms), bool) if keep_hydrogens else (syms != b"H") & (syms != b"D")
         types = map_symbols(syms[keep], symbol_table, unknown)
         parts.append(
             FlatClouds(
@@ -380,6 +400,8 @@ class SDFBatchFeeder:
         shards: int | None = None,
         target_shard_bytes: int = 8 << 20,
         compact: bool = False,
+        presort: bool = False,
+        spec=None,
     ):
         self.path = Path(path)
         self.symbols = list(symbols)
@@ -395,7 +417,12 @@ class SDFBatchFeeder:
         self.compact = compact
         self.shards = shards
         self.target_shard_bytes = target_shard_bytes
-        self.molecules_fed = 0
+        if presort and spec is None:
+            raise ValueError("presort=True needs spec= (the GridSpec sets the Morton cell size)")
+        self.presort = presort
+        self.spec = spec
+        self.molecules_fed = 0  # molecules with >= 1 atom (what a consumer voxelizes)
+        self.records_fed = 0  # real file records emitted as batch slots (incl. 0-atom)
 
     def _parse_shard(self, chunk: bytes) -> FlatClouds:
         from ..native.fastparse import parse_sdf_flat
@@ -414,6 +441,7 @@ class SDFBatchFeeder:
             n_shards = max(self.workers, -(-len(buf) // self.target_shard_bytes))
         spans = _record_shards(buf, n_shards)
         self.molecules_fed = 0
+        self.records_fed = 0
 
         carry = concat_flat_clouds([])
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
@@ -443,6 +471,9 @@ class SDFBatchFeeder:
                     pad_tail=last,
                     compact=self.compact,
                 )
+                self.records_fed += chunk.num_molecules - carry.num_molecules
                 for b in batches:
                     self.molecules_fed += int((b.num_atoms > 0).sum())
+                    if self.presort and b.padded_atoms > 128:
+                        b = morton_presort(b, self.spec)
                     yield b

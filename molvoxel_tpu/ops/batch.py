@@ -134,9 +134,8 @@ def voxelize_batch(
         kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset,
                   d_count=d_count, out_dtype=out_dtype)
         if channelwise:
-            # channelwise kernel keeps f32 out blocks (cold path); XLA epilogue cast
-            out = voxelize_pallas_batch_channelwise(coords, weights, radii, **kw_nodtype(kw))
-            return out if out_dtype == "float32" else out.astype(out_dtype)
+            # channel expansion onto the v5 atom-wise kernel (pallas_deposit)
+            return voxelize_pallas_batch_channelwise(coords, weights, radii, **kw, presorted=presorted)
         kw["presorted"] = presorted
         pack = _choose_pack(coords.shape[1], weights.shape[2])
         if pack > 1:
@@ -165,10 +164,6 @@ def voxelize_batch(
 
 def kw_nomask(kw):
     return {k: v for k, v in kw.items() if k != "mask"}
-
-
-def kw_nodtype(kw):
-    return {k: v for k, v in kw.items() if k != "out_dtype"}
 
 
 def _choose_pack(vp: int, c: int) -> int:

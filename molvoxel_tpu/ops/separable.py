@@ -99,14 +99,17 @@ def voxelize_separable_batch(
     if out_dtype == "float32":
         out = jnp.einsum("bvm,bvn->bmn", u, eyz, preferred_element_type=dtype, precision=_PRECISION)
     else:
-        # bf16 output: quantization floor is already 2^-8 relative, so bf16
-        # einsum inputs (one MXU pass vs HIGHEST's six) are free accuracy-wise;
-        # the contraction still accumulates f32 in the MXU, and emitting bf16
-        # directly from the matmul removes the cast epilogue read-modify-write.
+        # reduced-precision output: quantization floor is already <= 2^-8
+        # relative, so bf16 einsum inputs (one MXU pass vs HIGHEST's six) are
+        # free accuracy-wise; the contraction still accumulates f32 in the
+        # MXU.  bf16 comes straight out of the matmul; narrower grids (fp8)
+        # get a cast epilogue XLA fuses into the matmul's output write.
         out = jnp.einsum(
-            "bvm,bvn->bmn", u.astype(out_dtype), eyz.astype(out_dtype),
-            preferred_element_type=jnp.dtype(out_dtype),
+            "bvm,bvn->bmn", u.astype(jnp.bfloat16), eyz.astype(jnp.bfloat16),
+            preferred_element_type=jnp.bfloat16,
         )
+        if out_dtype != "bfloat16":
+            out = out.astype(jnp.dtype(out_dtype))
     if materialize:
         out = jax.lax.optimization_barrier(out)
     return out.reshape(b, c, dl, dim, dim)

@@ -218,7 +218,7 @@ class StreamingVoxelizer:
     jax.jit,
     static_argnames=(
         "chunk", "num_channels", "radii_value", "random_translation", "spec",
-        "density_type", "sigma", "random_rotation", "out_dtype", "impl",
+        "density_type", "sigma", "random_rotation", "out_dtype", "impl", "presorted",
     ),
 )
 def _fused_scan_step(
@@ -238,6 +238,7 @@ def _fused_scan_step(
     random_rotation: bool,
     out_dtype: str,
     impl: str = "auto",
+    presorted: bool = False,
 ):
     """One dispatch for a whole superbatch: scan chunks, return ONE checksum.
 
@@ -269,7 +270,7 @@ def _fused_scan_step(
             crd, w, radii, mask, ce, keys, random_translation,
             spec=spec, density_type=density_type, sigma=sigma,
             random_rotation=random_rotation, impl=impl,
-            materialize=True, out_dtype=out_dtype,
+            materialize=True, out_dtype=out_dtype, presorted=presorted,
         )
         return acc + jnp.sum(out.astype(jnp.float32)), None
 
@@ -292,6 +293,7 @@ def stream_checksum(
     out_dtype: str = "float32",
     impl: str = "auto",
     seed: int = 0,
+    presorted: bool = False,
 ) -> tuple[StreamStats, float]:
     """Drive compact superbatches through the fused step; return a checksum.
 
@@ -300,6 +302,10 @@ def stream_checksum(
     multiple of ``chunk``.  Host work per superbatch = 3 array transfers +
     1 scalar + 1 dispatch; the single final float() fetch fences everything
     (the tunnel defers execution, CLAUDE.md).
+
+    ``presorted``: the batches arrived Morton-sorted on the host
+    (SDFBatchFeeder(presort=True) / data.feed.morton_presort) — skips the
+    in-graph argsort for the >128-atom regime entirely.
     """
     import jax.numpy as jnp
 
@@ -333,6 +339,7 @@ def stream_checksum(
                 random_rotation=random_rotation,
                 out_dtype=out_dtype,
                 impl=impl,
+                presorted=presorted,
             )
         )
         stats.batches += 1

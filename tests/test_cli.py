@@ -48,3 +48,77 @@ def test_voxelize_pdb(tmp_path):
     )
     assert rc == 0
     assert np.load(out)["grids"].shape == (1, 4, 16, 16, 16)
+
+
+_ALLH_RECORD = (
+    "allh\n  gen\n\n"
+    "  2  0  0  0  0  0  0  0  0  0999 V2000\n"
+    "    0.0000    0.0000    0.0000 H   0  0  0  0  0\n"
+    "    1.0000    0.0000    0.0000 H   0  0  0  0  0\n"
+    "M  END\n$$$$\n"
+)
+
+
+def _mixed_sdf(tmp_path, tail_copies=1):
+    rec = open(REF_LIGAND).read()
+    if not rec.endswith("\n"):
+        rec += "\n"
+    path = tmp_path / "mixed.sdf"
+    path.write_text(rec + _ALLH_RECORD + rec * tail_copies)
+    return path
+
+
+def test_voxelize_npz_keeps_empty_record_slots(tmp_path):
+    """A mid-stream record that filters to 0 atoms keeps its (all-zero) grid
+    slot; the last real molecule's grid is not dropped (round-2 ADVICE)."""
+    path = _mixed_sdf(tmp_path)
+    out = tmp_path / "grids.npz"
+    rc = main(
+        ["voxelize", str(path), "-o", str(out), "--dimension", "16",
+         "--channels", "C,N,O,S", "--batch", "2"]
+    )
+    assert rc == 0
+    grids = np.load(out)["grids"]
+    assert grids.shape[0] == 3  # 3 records, incl. the empty one
+    sums = grids.sum(axis=(1, 2, 3, 4))
+    assert sums[0] > 0 and sums[2] > 0  # last real molecule present
+    assert sums[1] == 0  # the all-H record's slot
+    np.testing.assert_allclose(grids[0], grids[2], atol=1e-5)
+
+
+def test_voxelize_sharded_store(tmp_path):
+    """Directory output streams shards with bounded memory and round-trips."""
+    from molvoxel_tpu.data.gridstore import GridShardReader, read_grid_shards
+
+    rec = open(REF_LIGAND).read()
+    if not rec.endswith("\n"):
+        rec += "\n"
+    path = tmp_path / "lib.sdf"
+    path.write_text(rec * 9)
+    store = tmp_path / "store"
+    rc = main(
+        ["voxelize", str(path), "-o", str(store), "--dimension", "16",
+         "--channels", "C,N,O,S", "--batch", "2"]
+    )
+    assert rc == 0
+    grids, manifest = read_grid_shards(store)
+    assert manifest["num_molecules"] == 9
+    assert grids.shape == (9, 4, 16, 16, 16)
+    np.testing.assert_allclose(grids[0], grids[8], atol=1e-5)
+    r = GridShardReader(store)
+    np.testing.assert_array_equal(r[8], grids[8])
+
+
+def test_voxelize_npz_limit(tmp_path):
+    import pytest
+
+    rec = open(REF_LIGAND).read()
+    if not rec.endswith("\n"):
+        rec += "\n"
+    path = tmp_path / "lib.sdf"
+    path.write_text(rec * 5)
+    with pytest.raises(SystemExit, match="npz-limit"):
+        main(
+            ["voxelize", str(path), "-o", str(tmp_path / "g.npz"), "--dimension", "16",
+             "--channels", "C,N,O,S", "--batch", "2", "--npz-limit", "3"]
+        )

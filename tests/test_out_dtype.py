@@ -72,6 +72,30 @@ def test_bf16_small_molecule_packed_path():
     )
 
 
+@pytest.mark.parametrize("impl", ["pallas", "dense"])
+@pytest.mark.parametrize("density", ["gaussian", "gaussian_notrunc"])
+def test_fp8_matches_f32_within_quantization(impl, density):
+    """fp8 (e4m3) output lane: halves the bf16 write wall again.  Tolerance =
+    e4m3's 2^-4 relative quantization (plus bf16 matmul inputs underneath)."""
+    f32 = _run(density, impl, "float32")
+    lo = _run(density, impl, "float8_e4m3fn")
+    assert lo.dtype == jnp.float8_e4m3fn
+    ref = np.asarray(f32)
+    got = np.asarray(lo, dtype=np.float32)
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(got, ref, atol=0.08 * scale)
+
+
+def test_fp8_small_molecule_packed_path():
+    f32 = _run("gaussian", "pallas", "float32", v=64)
+    lo = _run("gaussian", "pallas", "float8_e4m3fn", v=64)
+    assert lo.dtype == jnp.float8_e4m3fn
+    np.testing.assert_allclose(
+        np.asarray(lo, np.float32), np.asarray(f32),
+        atol=0.08 * max(1.0, float(np.abs(f32).max())),
+    )
+
+
 def test_materialize_honored_on_channelwise_separable():
     # regression for ADVICE r1: materialize was silently dropped here
     coords, weights, mask, keys = _inputs()
