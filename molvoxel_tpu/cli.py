@@ -283,7 +283,7 @@ def _run_throughput(args, spec, path, symbols) -> int:
             chunk=chunk, density_type=args.density, sigma=args.sigma,
             radii=args.radii, random_translation=args.random_translation,
             random_rotation=args.random_rotation, out_dtype=args.out_dtype,
-            seed=seed, presorted=args.presort,
+            seed=seed, presorted=args.presort, wire=args.wire,
         )
         return stats, time.time() - t0, checksum
 
@@ -305,6 +305,7 @@ def _run_throughput(args, spec, path, symbols) -> int:
                 "density": args.density,
                 "dimension": args.dimension,
                 "workers": args.workers,
+                "wire": bool(args.wire),
                 "checksum": checksum,
             }
         )
@@ -349,7 +350,12 @@ def main(argv=None) -> int:
     pv.add_argument("--seed", type=int, default=0)
     pv.add_argument("--workers", type=int, default=2, help="parser threads for the vectorized SDF feeder")
     pv.add_argument("--chunk", type=int, default=256, help="in-graph scan chunk for --throughput")
-    pv.add_argument("--out-dtype", default="float32", choices=["float32", "bfloat16"])
+    pv.add_argument(
+        "--out-dtype", default="float32",
+        choices=["float32", "bfloat16", "float8_e4m3fn"],
+        help="grid dtype: f32 = parity lane, bf16 = production training lane "
+        "(2^-8 rel), fp8 e4m3 = aggressive training lane (2^-4 rel)",
+    )
     pv.add_argument(
         "--presort",
         action="store_true",
@@ -368,6 +374,12 @@ def main(argv=None) -> int:
         "--throughput",
         action="store_true",
         help="measure end-to-end stream-from-disk mols/s (grids consumed on device, not saved)",
+    )
+    pv.add_argument(
+        "--wire",
+        action="store_true",
+        help="--throughput: ship superbatches as ONE int16 fixed-point array (~0.5 mÅ) "
+        "staged from a prefetch thread (8 B/atom, 1 transfer instead of 3)",
     )
 
     sub.add_parser("bench", help="run the headline benchmark")

@@ -252,16 +252,31 @@ def _fused_scan_step(
     twice or to the host.  This is the shape a training consumer uses, with
     the checksum replaced by its loss.
     """
+    return _scan_chunks(
+        coords, types, centers, key, step,
+        chunk=chunk, num_channels=num_channels, radii_value=radii_value,
+        random_translation=random_translation, spec=spec, density_type=density_type,
+        sigma=sigma, random_rotation=random_rotation, out_dtype=out_dtype,
+        impl=impl, presorted=presorted,
+    )
+
+
+def _scan_chunks(
+    coords, types, centers, key, step, *,
+    chunk, num_channels, radii_value, random_translation, spec,
+    density_type, sigma, random_rotation, out_dtype, impl, presorted,
+):
     b, vp = types.shape
     k = b // chunk
     coords = coords.reshape(k, chunk, vp, 3)
     types = types.reshape(k, chunk, vp)
-    centers = centers.reshape(k, chunk, 3)
+    centers = None if centers is None else centers.reshape(k, chunk, 3)
     radii = jnp.full((vp,), radii_value, jnp.float32)
     base = jax.random.fold_in(key, step)
 
     def body(acc, xs):
-        i, crd, t, ce = xs
+        i, crd, t = xs[:3]
+        ce = xs[3] if centers is not None else None
         keys = jax.random.split(jax.random.fold_in(base, i), chunk)
         mask = t >= 0
         w = jax.nn.one_hot(jnp.maximum(t, 0).astype(jnp.int32), num_channels, dtype=jnp.float32)
@@ -274,10 +289,56 @@ def _fused_scan_step(
         )
         return acc + jnp.sum(out.astype(jnp.float32)), None
 
-    acc, _ = jax.lax.scan(
-        body, jnp.float32(0.0), (jnp.arange(k), coords, types, centers)
-    )
+    xs = (jnp.arange(k), coords, types) + (() if centers is None else (centers,))
+    acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
     return acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "num_channels", "radii_value", "random_translation", "spec",
+        "density_type", "sigma", "random_rotation", "out_dtype", "impl",
+        "presorted", "inv_scale",
+    ),
+)
+def _fused_scan_step_wire(
+    wire,  # (B, Vp, 4) int16 fixed-point [x_q, y_q, z_q, type] (data/feed.py pack_wire)
+    key,
+    step,
+    *,
+    chunk: int,
+    num_channels: int,
+    radii_value: float,
+    random_translation: float,
+    spec: GridSpec,
+    density_type: str,
+    sigma: float,
+    random_rotation: bool,
+    out_dtype: str,
+    impl: str = "auto",
+    presorted: bool = False,
+    inv_scale: float = 1.0 / 1024.0,
+):
+    """Wire-format superbatch step: ONE int16 array on the wire.
+
+    The next transfer-ladder rung after compact int8 types: coords ship as
+    fixed-point int16 (~0.5 mÅ quantization, data/feed.py pack_wire) packed
+    with the type lane into a single (B, Vp, 4) array — 8 B/atom instead of
+    13+, and ONE host->device transfer instead of three (each op costs
+    ~1-3 ms through the axon tunnel).  Coords arrive pre-centered, so no
+    centers array exists at all; dequantization is one exact
+    power-of-two multiply in-graph.
+    """
+    coords = wire[..., :3].astype(jnp.float32) * jnp.float32(inv_scale)
+    types = wire[..., 3]
+    return _scan_chunks(
+        coords, types, None, key, step,
+        chunk=chunk, num_channels=num_channels, radii_value=radii_value,
+        random_translation=random_translation, spec=spec, density_type=density_type,
+        sigma=sigma, random_rotation=random_rotation, out_dtype=out_dtype,
+        impl=impl, presorted=presorted,
+    )
 
 
 def stream_checksum(
@@ -294,6 +355,7 @@ def stream_checksum(
     impl: str = "auto",
     seed: int = 0,
     presorted: bool = False,
+    wire: bool = False,
 ) -> tuple[StreamStats, float]:
     """Drive compact superbatches through the fused step; return a checksum.
 
@@ -306,6 +368,12 @@ def stream_checksum(
     ``presorted``: the batches arrived Morton-sorted on the host
     (SDFBatchFeeder(presort=True) / data.feed.morton_presort) — skips the
     in-graph argsort for the >128-atom regime entirely.
+
+    ``wire``: pack each superbatch into ONE (B, Vp, 4) int16 fixed-point
+    array (data/feed.py pack_wire, ~0.5 mÅ quantization) and stage its
+    device transfer from a prefetch thread, so packing + H2D overlap the
+    previous superbatch's device work — host cost per superbatch drops to
+    1 staged transfer + 1 dispatch.
     """
     import jax.numpy as jnp
 
@@ -313,6 +381,36 @@ def stream_checksum(
     stats = StreamStats()
     accs = []
     t0 = time.time()
+    if wire:
+        from ..data.feed import pack_wire, prefetch_iter, wire_scale
+
+        scale = wire_scale(spec)
+
+        def staged():
+            for batch in batches:
+                if batch.types is None:
+                    raise ValueError("stream_checksum(wire=True) needs compact batches")
+                if batch.batch_size % chunk:
+                    raise ValueError(f"batch_size {batch.batch_size} not a multiple of chunk {chunk}")
+                dev = jax.device_put(pack_wire(batch, scale))  # async H2D off-thread
+                yield dev, int((batch.num_atoms > 0).sum()), batch.num_channels
+
+        for step, (dev, nmol, num_channels) in enumerate(prefetch_iter(staged(), depth=2)):
+            accs.append(
+                _fused_scan_step_wire(
+                    dev, key, jnp.int32(step),
+                    chunk=chunk, num_channels=num_channels, radii_value=float(radii),
+                    random_translation=float(random_translation), spec=spec,
+                    density_type=density_type, sigma=sigma,
+                    random_rotation=random_rotation, out_dtype=out_dtype,
+                    impl=impl, presorted=presorted, inv_scale=1.0 / scale,
+                )
+            )
+            stats.batches += 1
+            stats.molecules += nmol
+        checksum = float(jnp.sum(jnp.stack(accs))) if accs else 0.0
+        stats.wall_seconds = time.time() - t0
+        return stats, checksum
     for step, batch in enumerate(batches):
         if batch.types is None:
             raise ValueError("stream_checksum needs compact batches (SDFBatchFeeder(compact=True))")

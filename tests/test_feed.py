@@ -343,3 +343,73 @@ class TestCompactBatches:
         sv = StreamingVoxelizer(spec, batch_size=8)
         sv.run_batches(iter(batches), lambda img, b: sums.append(float(jnp.sum(img))))
         assert abs(checksum - sum(sums)) < 1e-2 * max(abs(checksum), 1.0)
+
+
+class TestWireFormat:
+    """int16 fixed-point wire format (pack_wire / stream_checksum(wire=True))."""
+
+    def test_wire_scale_covers_grid(self):
+        from molvoxel_tpu.data.feed import wire_scale
+
+        s64 = wire_scale(GridSpec(resolution=0.5, dimension=64))  # half-width 16
+        s128 = wire_scale(GridSpec(resolution=0.5, dimension=128))  # half-width 32
+        assert s64 == 1024.0 and s128 == 512.0
+        # int16 range covers half-width + 8 A margin at the chosen scale
+        assert 32767 / s64 >= 16 + 8 and 32767 / s128 >= 32 + 8
+
+    def test_pack_wire_roundtrip(self, tmp_path):
+        from molvoxel_tpu.data.feed import pack_wire, wire_scale
+
+        path = _make_sdf(tmp_path, 4)
+        spec = GridSpec(resolution=0.5, dimension=64)
+        scale = wire_scale(spec)
+        batch = next(iter(SDFBatchFeeder(path, SYMBOLS, batch_size=4, compact=True)))
+        wire = pack_wire(batch, scale)
+        assert wire.dtype == np.int16 and wire.shape == (*batch.types.shape, 4)
+        np.testing.assert_array_equal(wire[..., 3], batch.types)
+        centered = batch.coords - batch.centers[:, None, :]
+        np.testing.assert_allclose(
+            wire[..., :3].astype(np.float32) / scale, centered, atol=0.5 / scale + 1e-7
+        )
+
+    def test_pack_wire_needs_compact(self, tmp_path):
+        from molvoxel_tpu.data.feed import pack_wire
+
+        path = _make_sdf(tmp_path, 2)
+        batch = next(iter(SDFBatchFeeder(path, SYMBOLS, batch_size=2)))
+        with pytest.raises(ValueError, match="compact"):
+            pack_wire(batch, 1024.0)
+
+    def test_wire_checksum_matches_plain(self, tmp_path):
+        """wire=True equals the 3-array path within the ~0.5 mA quantization
+        budget (well under the bf16 grid floor the stream lane runs at)."""
+        from molvoxel_tpu.parallel.stream import stream_checksum
+
+        path = _make_sdf(tmp_path, 8)
+        spec = GridSpec(resolution=0.5, dimension=16)
+        batches = list(SDFBatchFeeder(path, SYMBOLS, batch_size=8, compact=True))
+        stats_p, cs_plain = stream_checksum(iter(batches), spec, chunk=4)
+        stats_w, cs_wire = stream_checksum(iter(batches), spec, chunk=4, wire=True)
+        assert stats_w.molecules == stats_p.molecules == 8
+        assert stats_w.batches == stats_p.batches
+        assert abs(cs_plain - cs_wire) < 1e-3 * max(abs(cs_plain), 1.0)
+
+    def test_wire_exact_on_representable_coords(self):
+        """Coords that are exact multiples of 1/scale survive the wire
+        bit-identically: the checksum matches the plain path exactly."""
+        from molvoxel_tpu.data.pipeline import PaddedBatch
+        from molvoxel_tpu.parallel.stream import stream_checksum
+
+        rng = np.random.default_rng(0)
+        scale = 1024.0  # wire_scale for the 16^3 grid is larger; use dim 64
+        spec = GridSpec(resolution=0.5, dimension=64)
+        b, vp = 4, 8
+        coords = rng.integers(-4000, 4000, size=(b, vp, 3)).astype(np.float32) / scale
+        types = rng.integers(0, 4, size=(b, vp)).astype(np.int8)
+        batch = PaddedBatch(
+            coords, None, types >= 0, None, None,
+            np.full((b,), vp, np.int32), types=types, num_channels=4,
+        )
+        _, cs_plain = stream_checksum(iter([batch]), spec, chunk=2)
+        _, cs_wire = stream_checksum(iter([batch]), spec, chunk=2, wire=True)
+        assert cs_plain == cs_wire

@@ -42,6 +42,18 @@ def test_colors():
     assert isinstance(channel_color("SingleBond", 5), str)
 
 
+def test_colors_full_periodic_table():
+    # reference parity: all 118 elements resolve to a real color, never the
+    # unknown-symbol fallback (/root/reference/molvoxel/etc/pymol/atom.py:1-120)
+    from molvoxel_tpu.viz.atom_colors import _ELEMENT_NAMES
+
+    assert len(_ELEMENT_NAMES) == 118
+    for sym in _ELEMENT_NAMES:
+        assert atom_color(sym) != "wheat"
+    assert atom_color("Pr") == "praseodymium"
+    assert atom_color("Og") == "oganesson"
+
+
 def test_visualizer_fallback_builds_pml(rng, tmp_path):
     mol = make_mol(rng)
     grid = np.zeros((2, 8, 8, 8), np.float32)
