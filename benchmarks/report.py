@@ -3,8 +3,12 @@
 Covers the reference's own timing protocol shapes (10gs ligand / complex /
 protein, /root/reference/test/test_time_numpy.py) plus the north-star config,
 on real hardware with deferred-execution-safe timing (utils/timing.py).
+Every workload is measured in both grid dtypes: f32 (bit-parity lane) and
+bf16 (production training lane, 2^-8 relative).
 
-Run:  python benchmarks/report.py
+Run:  python benchmarks/report.py                 # kernel sweep
+      python benchmarks/report.py --stream PATH   # + stream-from-disk row
+                                                  # (PATH = multi-record SDF)
 """
 
 from __future__ import annotations
@@ -30,6 +34,8 @@ from molvoxel_tpu.core.config import GridSpec, small_atom_bucket  # noqa: E402
 from molvoxel_tpu.data import AtomTypeGetter, BondTypeGetter, MolPointCloudMaker, read_pdb, read_sdf  # noqa: E402
 from molvoxel_tpu.ops.batch import voxelize_batch  # noqa: E402
 
+DENSITIES = ["gaussian", "binary", "gaussian_notrunc"]
+
 
 def load_cases():
     lig = read_sdf("/root/reference/test/10gs/10gs_ligand.sdf")
@@ -49,20 +55,29 @@ def load_cases():
     complex_feats[: lig_feats.shape[0], : lig_feats.shape[1]] = lig_feats
     complex_feats[lig_feats.shape[0] :, lig_feats.shape[1] :] = prot_feats
 
+    lig_onehot = np.eye(4, dtype=np.float32)[
+        np.asarray([{"C": 0, "N": 1, "O": 2, "S": 3}.get(s, 3) for s in lig.symbols])
+    ]
+
     return [
-        # name, coords, feats, center, dim, batch
-        ("ligand 64^3 x4ch", lig.coords - center, np.eye(4, dtype=np.float32)[
-            np.asarray([{"C": 0, "N": 1, "O": 2, "S": 3}.get(s, 3) for s in lig.symbols])], 64, 64),
+        # name, coords, feats, center, dim, batch, extra-kwargs
+        ("ligand 64^3 x4ch", lig.coords - center, lig_onehot, 64, 64, {}),
         # forward_single (C=1): the channel-aligned packing path (8 mols/launch row)
         ("ligand 64^3 x1ch (single)", lig.coords - center,
-            np.ones((lig.coords.shape[0], 1), np.float32), 64, 64),
-        ("ligand+bonds 48^3 x9ch", lig_coords - center, lig_feats, 48, 64),
-        ("complex 48^3 x13ch (6.6k pts)", complex_coords - center, complex_feats, 48, 8),
-        ("protein 48^3 x4ch (3.3k atoms)", prot.coords - center, prot_feats, 48, 8),
-        ("ligand 128^3 x4ch", lig.coords - center, np.eye(4, dtype=np.float32)[
-            np.asarray([{"C": 0, "N": 1, "O": 2, "S": 3}.get(s, 3) for s in lig.symbols])], 128, 8),
+            np.ones((lig.coords.shape[0], 1), np.float32), 64, 64, {}),
+        ("ligand+bonds 48^3 x9ch", lig_coords - center, lig_feats, 48, 64, {}),
+        ("complex 48^3 x13ch (6.6k pts)", complex_coords - center, complex_feats, 48, 8, {}),
+        ("protein 48^3 x4ch (3.3k atoms)", prot.coords - center, prot_feats, 48, 8, {}),
+        ("ligand 128^3 x4ch", lig.coords - center, lig_onehot, 128, 8, {}),
         # the BASELINE.json configs[4] protein regime: 128^3 pocket/protein grid
-        ("protein 128^3 x4ch (3.3k atoms)", prot.coords - prot.coords.mean(0), prot_feats, 128, 4),
+        ("protein 128^3 x4ch (3.3k atoms)", prot.coords - prot.coords.mean(0), prot_feats, 128, 4, {}),
+        # channel-wise radii (4 distinct radii) via the v5 channel expansion
+        ("ligand 64^3 x4ch channel-wise radii", lig.coords - center, lig_onehot, 64, 16,
+         {"channelwise": True, "radii_c": np.asarray([0.9, 1.1, 1.3, 1.6], np.float32)}),
+        # a 64-deep slab of a 256^3 grid: the unit of depth-sharded execution
+        # on pod slices (parallel/sharded.py); per-mol cost is per SLAB here
+        ("ligand 256^3 x4ch (64-deep slab)", lig.coords - center, lig_onehot, 256, 4,
+         {"d_count": 64}),
     ]
 
 
@@ -78,10 +93,11 @@ def pad_batch(coords, feats, batch):
     return jnp.asarray(bc), jnp.asarray(bw), jnp.asarray(mask), vp
 
 
-def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=None):
+def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=None,
+            channelwise=False, radii_c=None):
     spec = GridSpec(0.5, dim)
     bc, bw, mask, vp = pad_batch(coords, feats, batch)
-    radii = jnp.ones((vp,), jnp.float32)
+    radii = jnp.asarray(radii_c) if radii_c is not None else jnp.ones((vp,), jnp.float32)
 
     # Grids must land in HBM (materialize=True fences the separable einsum;
     # the Pallas write is intrinsic); the full-grid sum is the cheapest
@@ -93,7 +109,8 @@ def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=Non
             out = voxelize_batch(bc, bw, radii, mask, None, keys, 0.5,
                                  spec=spec, density_type=density, sigma=0.5,
                                  random_rotation=True, impl="auto", materialize=True,
-                                 out_dtype=out_dtype, d_count=d_count)
+                                 out_dtype=out_dtype, d_count=d_count,
+                                 channelwise=channelwise)
             return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
         return jax.lax.fori_loop(0, n, body, 0.0)
 
@@ -120,38 +137,96 @@ def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=Non
     return max(per, 1e-9)
 
 
+def measure_stream(path: str) -> dict:
+    """End-to-end stream-from-disk row via the CLI machinery (wire format)."""
+    from molvoxel_tpu.cli import main as cli_main
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main([
+            "voxelize", path, "--throughput", "--wire", "--out-dtype", "bfloat16",
+            "--random-rotation", "--random-translation", "0.5",
+        ])
+    assert rc == 0
+    return _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
 def main():
+    stream_path = None
+    if "--stream" in sys.argv:
+        stream_path = sys.argv[sys.argv.index("--stream") + 1]
+
     rows = []
-    for name, coords, feats, dim, batch in load_cases():
-        for density in ["gaussian", "binary", "gaussian_notrunc"]:
-            try:
-                per = measure(coords.astype(np.float32), feats, dim, batch, density)
-                rate = 1.0 / per
-                rows.append((name, density, per * 1e6, rate))
-                print(f"{name:34s} {density:18s} {per*1e6:9.1f} us/mol  {rate:10.0f} mols/s", flush=True)
-            except Exception as e:  # noqa: BLE001
-                rows.append((name, density, float("nan"), float("nan")))
-                print(f"{name:34s} {density:18s} FAILED: {str(e)[:80]}", flush=True)
+    for name, coords, feats, dim, batch, extra in load_cases():
+        densities = DENSITIES if not extra.get("channelwise") else ["gaussian", "binary"]
+        for density in densities:
+            cells = {}
+            for dtype in ("float32", "bfloat16"):
+                try:
+                    per = measure(coords.astype(np.float32), feats, dim, batch, density,
+                                  out_dtype=dtype, d_count=extra.get("d_count"),
+                                  channelwise=extra.get("channelwise", False),
+                                  radii_c=extra.get("radii_c"))
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name} {density} {dtype} FAILED: {str(e)[:100]}", flush=True)
+                    per = float("nan")
+                cells[dtype] = per
+            rows.append((name, density, cells["float32"] * 1e6, cells["bfloat16"] * 1e6))
+            print(f"{name:38s} {density:18s} f32 {cells['float32']*1e6:9.1f}  "
+                  f"bf16 {cells['bfloat16']*1e6:9.1f} us/mol "
+                  f"({1.0/cells['bfloat16']:,.0f} mols/s)", flush=True)
+
+    # fp8 training lane: the ligand headline only (full sweep would double
+    # compile time for a lane whose story one row tells)
+    lig_row = load_cases()[0]
+    per_fp8 = measure(lig_row[1].astype(np.float32), lig_row[2], 64, 64, "gaussian",
+                      out_dtype="float8_e4m3fn")
+    print(f"{'ligand 64^3 x4ch':38s} {'gaussian fp8-out':18s} "
+          f"{per_fp8*1e6:9.1f} us/mol ({1.0/per_fp8:,.0f} mols/s)", flush=True)
+
+    stream_row = None
+    if stream_path:
+        stream_row = measure_stream(stream_path)
+        print(f"stream-from-disk: {stream_row['value']:,.1f} mols/s "
+              f"({stream_row['molecules']} molecules)", flush=True)
 
     out = REPO / "BENCHMARKS.md"
     lines = [
         "# Benchmarks (single TPU chip)",
         "",
         f"Measured on `{jax.default_backend()}` via `benchmarks/report.py` "
-        "(random rotation + 0.5 A translation per molecule, f32, parity-exact "
+        "(random rotation + 0.5 A translation per molecule, parity-exact "
         "semantics except `gaussian_notrunc` = the reference torch backend's "
         "no-cutoff gaussian).  Protocol: grids are materialized in HBM "
         "(`materialize=True` fences XLA's algebraic folding of the benchmark "
         "consumer) and read once by a full-grid sum — the per-mol figure "
-        "therefore includes one consumer pass, as a real pipeline would.",
+        "therefore includes one consumer pass, as a real pipeline would.  "
+        "f32 = bit-parity lane; bf16 = production training lane (tracks f32 "
+        "within 2^-8 relative, tests/test_out_dtype.py).",
         "",
-        "| workload | density | us/mol | mols/s |",
-        "|---|---|---:|---:|",
+        "| workload | density | f32 us/mol | bf16 us/mol | bf16 mols/s |",
+        "|---|---|---:|---:|---:|",
     ]
-    for name, density, us, rate in rows:
-        lines.append(f"| {name} | {density} | {us:.1f} | {rate:,.0f} |")
+    for name, density, us32, us16 in rows:
+        rate = 1e6 / us16 if us16 == us16 and us16 > 0 else float("nan")
+        lines.append(f"| {name} | {density} | {us32:.1f} | {us16:.1f} | {rate:,.0f} |")
     lines += [
+        f"| ligand 64^3 x4ch | gaussian (fp8 e4m3 out) | — | {per_fp8*1e6:.1f} | "
+        f"{1.0/per_fp8:,.0f} |",
         "",
+    ]
+    if stream_row:
+        lines += [
+            f"Stream-from-disk end to end ({stream_row['molecules']:,} molecules, "
+            f"native parse -> int16 wire superbatches -> fused scan, bf16 grids): "
+            f"**{stream_row['value']:,.0f} mols/s** "
+            f"(superbatch {stream_row['superbatch']}, workers {stream_row['workers']}).",
+            "",
+        ]
+    lines += [
         "Reference comparison (same host, 10gs ligand 64^3 x 4ch gaussian): the",
         "reference numpy backend measures ~142 mols/s with its default (buggy)",
         "block binning and ~0.8 mols/s on its exact single-block path.",
