@@ -9,6 +9,10 @@ bf16 (production training lane, 2^-8 relative).
 Run:  python benchmarks/report.py                 # kernel sweep
       python benchmarks/report.py --stream PATH   # + stream-from-disk row
                                                   # (PATH = multi-record SDF)
+
+The stream fixture is the 10gs ligand repeated 50k times:
+  python -c "open('/tmp/lib50k.sdf','wb').write(
+      open('/root/reference/test/10gs/10gs_ligand.sdf','rb').read()*50000)"
 """
 
 from __future__ import annotations

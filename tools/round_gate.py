@@ -18,6 +18,9 @@ Checks, all on the CURRENT jax backend (the real chip under the axon tunnel):
    - 128^3 protein-scale grid (Morton sort + closed-form ranges),
    - depth-slab execution (d_offset/d_count, the depth-sharded unit),
    - bf16 output lane vs the f32 parity lane,
+   - fp8 (e4m3) output lane (2^-3 relative bar),
+   - channel-wise radii via the v5 virtual-atom expansion vs dense,
+   - the int16 wire-format stream step vs the 3-array step,
    - (--big) a 256^3 depth slab, where whole-row tiles exceed VMEM and the
      kernel must stream (hwt_rows=None path).
 """
@@ -101,6 +104,54 @@ def kernel_checks(big: bool) -> dict:
     b16 = _run(coords, weights, mask, spec, impl="pallas", out_dtype="bfloat16")
     tol = float(max(np.abs(full).max(), 1.0)) * 2**-7
     record("bf16_output_lane", np.abs(b16.astype(np.float32) - full).max(), tol)
+
+    # 5. fp8 (e4m3) output lane: 3 mantissa bits -> 2^-4 relative step;
+    #    values also saturate into e4m3's coarse exponent grid near 0
+    f8 = _run(coords, weights, mask, spec, impl="pallas", out_dtype="float8_e4m3fn")
+    tol8 = float(max(np.abs(full).max(), 1.0)) * 2**-3
+    record("fp8_output_lane", np.abs(f8.astype(np.float32) - full).max(), tol8)
+
+    # 6. channel-wise radii via virtual-atom expansion on the v5 kernel
+    #    vs the independent dense channel-wise path
+    spec_cw = GridSpec(resolution=0.5, dimension=32)
+    coords, weights, mask = _random_case(rng, 64, 4, spec_cw.width / 2)
+    keys = jax.random.split(jax.random.PRNGKey(7), 1)
+    radii_c = jnp.asarray([0.9, 1.1, 1.3, 1.6], jnp.float32)
+
+    def run_cw(impl):
+        return np.asarray(jax.device_get(voxelize_batch(
+            coords, weights, radii_c, mask, None, keys, 0.0,
+            spec=spec_cw, density_type="gaussian", sigma=0.5, random_rotation=False,
+            impl=impl, channelwise=True,
+        )))
+
+    record("channelwise_expansion", np.abs(run_cw("pallas") - run_cw("dense")).max(), 1e-5)
+
+    # 7. int16 wire-format stream step vs the 3-array step (quantization only)
+    from molvoxel_tpu.data.feed import pack_wire, wire_scale
+    from molvoxel_tpu.data.pipeline import PaddedBatch
+    from molvoxel_tpu.parallel.stream import _fused_scan_step, _fused_scan_step_wire
+
+    spec_w = GridSpec(resolution=0.5, dimension=32)
+    bw_, vpw = 8, 64
+    wrng = np.random.default_rng(5)
+    wcoords = wrng.uniform(-6, 6, (bw_, vpw, 3)).astype(np.float32)
+    wtypes = wrng.integers(0, 4, (bw_, vpw)).astype(np.int8)
+    wtypes[:, -8:] = -1
+    kwargs = dict(chunk=4, num_channels=4, radii_value=1.0, random_translation=0.0,
+                  spec=spec_w, density_type="gaussian", sigma=0.5, random_rotation=False,
+                  out_dtype="float32")
+    key = jax.random.PRNGKey(3)
+    plain = float(_fused_scan_step(
+        jnp.asarray(wcoords), jnp.asarray(wtypes), jnp.zeros((bw_, 3), jnp.float32),
+        key, jnp.int32(0), **kwargs))
+    scale = wire_scale(spec_w)
+    batch = PaddedBatch(wcoords, None, wtypes >= 0, None, None,
+                        np.full((bw_,), vpw, np.int32), types=wtypes, num_channels=4)
+    wired = float(_fused_scan_step_wire(
+        jnp.asarray(pack_wire(batch, scale)), key, jnp.int32(0),
+        **kwargs, inv_scale=1.0 / scale))
+    record("wire_format_step", abs(plain - wired), 1e-3 * max(abs(plain), 1.0))
 
     if big:
         # 5. 256^3 depth slab: whole-row tiles exceed VMEM -> streamed path
