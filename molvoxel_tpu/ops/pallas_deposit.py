@@ -442,8 +442,15 @@ def _kernel_v5(range_ref, atom_ref, wt_ref, o_ref, acc_ref=None, *,
                     dens = jnp.where(dyz2 <= th, eyz, 0.0)
             else:
                 m = wt
-                one = jnp.bfloat16(1.0) if lowp else 1.0
-                dens = jnp.where(dyz2 <= th, one, one * 0)
+                # Select in f32, then cast: with two *scalar* bf16 branches the
+                # i1 mask would need an (8,128)->(16,128) splat relayout that
+                # Mosaic rejects ("Invalid relayout: Non-singleton logical
+                # dimension is replicated in destination but not in source");
+                # the gaussian branch never hits this because eyz is a real
+                # bf16 array.  Caught on-device by the binary bf16 gate check.
+                dens = jnp.where(dyz2 <= th, 1.0, 0.0)
+                if lowp:
+                    dens = dens.astype(jnp.bfloat16)
             if lowp:
                 acc = jax.lax.dot_general(
                     m, dens, dimension_numbers=(((1,), (1,)), ((), ())),

@@ -18,6 +18,7 @@ Checks, all on the CURRENT jax backend (the real chip under the axon tunnel):
    - 128^3 protein-scale grid (Morton sort + closed-form ranges),
    - depth-slab execution (d_offset/d_count, the depth-sharded unit),
    - bf16 output lane vs the f32 parity lane,
+   - binary density x bf16 output (the scalar-splat select relayout crash),
    - fp8 (e4m3) output lane (2^-3 relative bar),
    - channel-wise radii via the v5 virtual-atom expansion vs dense,
    - the int16 wire-format stream step vs the 3-array step,
@@ -58,12 +59,13 @@ def _random_case(rng, v, c, spread):
     return jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(mask)
 
 
-def _run(coords, weights, mask, spec, *, impl, out_dtype="float32", d_offset=0, d_count=None):
+def _run(coords, weights, mask, spec, *, impl, out_dtype="float32", d_offset=0, d_count=None,
+         density_type="gaussian"):
     keys = jax.random.split(jax.random.PRNGKey(7), coords.shape[0])
     radii = jnp.full((coords.shape[1],), 1.0, jnp.float32)
     out = voxelize_batch(
         coords, weights, radii, mask, None, keys, 0.0,
-        spec=spec, density_type="gaussian", sigma=0.5, random_rotation=False,
+        spec=spec, density_type=density_type, sigma=0.5, random_rotation=False,
         impl=impl, out_dtype=out_dtype, d_offset=d_offset, d_count=d_count,
     )
     return np.asarray(jax.device_get(out))
@@ -104,6 +106,17 @@ def kernel_checks(big: bool) -> dict:
     b16 = _run(coords, weights, mask, spec, impl="pallas", out_dtype="bfloat16")
     tol = float(max(np.abs(full).max(), 1.0)) * 2**-7
     record("bf16_output_lane", np.abs(b16.astype(np.float32) - full).max(), tol)
+
+    # 4b. binary density x bf16 output: the lowp select used to build its
+    #     0/1 density from scalar bf16 splats, which needs an i1 mask
+    #     (8,128)->(16,128) splat relayout Mosaic rejects (HTTP 500, caught
+    #     only on-device — round 3).  Binary counts are small integers, so
+    #     bf16 is exact here and the lane must match f32 bitwise-as-floats.
+    bin_f32 = _run(coords, weights, mask, spec, impl="pallas", density_type="binary")
+    bin_b16 = _run(coords, weights, mask, spec, impl="pallas", density_type="binary",
+                   out_dtype="bfloat16")
+    tol_b = float(max(np.abs(bin_f32).max(), 1.0)) * 2**-7
+    record("binary_bf16_lane", np.abs(bin_b16.astype(np.float32) - bin_f32).max(), tol_b)
 
     # 5. fp8 (e4m3) output lane: 3 mantissa bits -> 2^-4 relative step;
     #    values also saturate into e4m3's coarse exponent grid near 0
