@@ -9,6 +9,10 @@ bf16 (production training lane, 2^-8 relative).
 Run:  python benchmarks/report.py                 # kernel sweep
       python benchmarks/report.py --stream PATH   # + stream-from-disk row
                                                   # (PATH = multi-record SDF)
+      python benchmarks/report.py --stream-protein PATH
+                                                  # + protein-scale stream row
+                                                  # (auto-generates the pocket
+                                                  # fixture when PATH is absent)
 
 The stream fixture is the 10gs ligand repeated 50k times:
   python -c "open('/tmp/lib50k.sdf','wb').write(
@@ -141,7 +145,7 @@ def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=Non
     return max(per, 1e-9)
 
 
-def measure_stream(path: str) -> dict:
+def measure_stream(path: str, extra: tuple = ()) -> dict:
     """End-to-end stream-from-disk row via the CLI machinery (wire format)."""
     from molvoxel_tpu.cli import main as cli_main
     import io
@@ -152,16 +156,42 @@ def measure_stream(path: str) -> dict:
     with redirect_stdout(buf):
         rc = cli_main([
             "voxelize", path, "--throughput", "--wire", "--out-dtype", "bfloat16",
-            "--random-rotation", "--random-translation", "0.5",
+            "--random-rotation", "--random-translation", "0.5", *extra,
         ])
     assert rc == 0
     return _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def make_protein_stream_fixture(path: str, n: int = 5000) -> None:
+    """N copies of the 10gs pocket (H-stripped, ~500 atoms -> 512-atom bucket)
+    as a multi-record SDF: the protein-scale streaming regime, where the
+    Morton presort must run on the HOST (--presort) — the in-graph argsort
+    was ~200 us/mol of the round-1 protein path (docs/DESIGN.md 2b)."""
+    from molvoxel_tpu.data.parsers import read_pdb, write_sdf
+
+    prot = read_pdb("/root/reference/test/10gs/10gs_pocket_nowater.pdb").without_hydrogens()
+    write_sdf(prot, path)
+    one = Path(path).read_bytes()
+    Path(path).write_bytes(one * n)
+
+
+def measure_stream_protein(path: str) -> dict:
+    """Protein-scale stream: 48^3 grid, host Morton presort, zero in-graph
+    argsort (stream_checksum(presorted=True) skips _sort_atoms_spatially)."""
+    if not Path(path).exists():
+        make_protein_stream_fixture(path)
+    return measure_stream(path, (
+        "--presort", "--dimension", "48", "--unknown", "--batch", "1024",
+    ))
 
 
 def main():
     stream_path = None
     if "--stream" in sys.argv:
         stream_path = sys.argv[sys.argv.index("--stream") + 1]
+    protein_stream_path = None
+    if "--stream-protein" in sys.argv:
+        protein_stream_path = sys.argv[sys.argv.index("--stream-protein") + 1]
 
     rows = []
     for name, coords, feats, dim, batch, extra in load_cases():
@@ -196,6 +226,11 @@ def main():
         stream_row = measure_stream(stream_path)
         print(f"stream-from-disk: {stream_row['value']:,.1f} mols/s "
               f"({stream_row['molecules']} molecules)", flush=True)
+    protein_stream_row = None
+    if protein_stream_path:
+        protein_stream_row = measure_stream_protein(protein_stream_path)
+        print(f"protein stream-from-disk: {protein_stream_row['value']:,.1f} mols/s "
+              f"({protein_stream_row['molecules']} molecules, host presort)", flush=True)
 
     out = REPO / "BENCHMARKS.md"
     lines = [
@@ -228,6 +263,15 @@ def main():
             f"native parse -> int16 wire superbatches -> fused scan, bf16 grids): "
             f"**{stream_row['value']:,.0f} mols/s** "
             f"(superbatch {stream_row['superbatch']}, workers {stream_row['workers']}).",
+            "",
+        ]
+    if protein_stream_row:
+        lines += [
+            f"Protein-scale stream ({protein_stream_row['molecules']:,} pocket copies, "
+            "~500 atoms/record, 48^3 grid, HOST Morton presort -> zero in-graph "
+            f"argsort, int16 wire, bf16 grids): "
+            f"**{protein_stream_row['value']:,.0f} mols/s** "
+            f"(superbatch {protein_stream_row['superbatch']}).",
             "",
         ]
     lines += [

@@ -278,6 +278,12 @@ def assemble_batches(
     return batches, carry
 
 
+# 3-stride bit-interleave of a 5-bit value: PART[v] has bit i of v at bit 3i.
+_MORTON_PART_TABLE = np.zeros(32, np.int32)
+for _i in range(5):
+    _MORTON_PART_TABLE |= ((np.arange(32) >> _i) & 1).astype(np.int32) << (3 * _i)
+
+
 def morton_presort(batch: PaddedBatch, spec) -> PaddedBatch:
     """Host-side Morton (Z-order) atom sort of a padded batch.
 
@@ -293,25 +299,27 @@ def morton_presort(batch: PaddedBatch, spec) -> PaddedBatch:
     centered = batch.coords if batch.centers is None else batch.coords - batch.centers[:, None, :]
     scale = cells / max(spec.width, 1e-6)
     cell = np.clip((centered - spec.lower_bound) * scale, 0, cells).astype(np.int32)
-    key = np.zeros(batch.coords.shape[:2], np.int32)
-    for i in range(bits):
-        key |= (
-            (((cell[..., 0] >> i) & 1) << (3 * i + 2))
-            | (((cell[..., 1] >> i) & 1) << (3 * i + 1))
-            | (((cell[..., 2] >> i) & 1) << (3 * i))
-        )
+    # Bit-interleave via a 32-entry table (one gather per axis) instead of 15
+    # shift/mask passes over the full (B, Vp) array — the key build was ~half
+    # the presort cost on protein-scale batches, and the presort runs on the
+    # host data path where it contends with the parser threads for CPU.
+    part = _MORTON_PART_TABLE
+    key = (part[cell[..., 0]] << 2) | (part[cell[..., 1]] << 1) | part[cell[..., 2]]
     key = np.where(batch.mask, key, np.int32(1 << 30))
+    b, vp = key.shape
     order = np.argsort(key, axis=1, kind="stable")
-    take2 = lambda a: None if a is None else np.take_along_axis(a, order, axis=1)
-    take3 = lambda a: None if a is None else np.take_along_axis(a, order[..., None], axis=1)
+    # One flat gather per array: take_along_axis pays its fancy-index setup
+    # per call; a precomputed flat index makes each permutation a plain take.
+    flat = (order + np.arange(b, dtype=np.intp)[:, None] * vp).ravel()
+    take = lambda a: None if a is None else a.reshape(b * vp, *a.shape[2:])[flat].reshape(a.shape)
     return PaddedBatch(
-        take3(batch.coords),
-        take3(batch.weights),
-        take2(batch.mask),
-        take2(batch.radii),
+        take(batch.coords),
+        take(batch.weights),
+        take(batch.mask),
+        take(batch.radii),
         batch.centers,
         batch.num_atoms,
-        types=take2(batch.types),
+        types=take(batch.types),
         num_channels=batch.num_channels,
     )
 
