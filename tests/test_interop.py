@@ -1,0 +1,117 @@
+"""PyTorch interop: dtype-faithful conversion + the streaming torch dataset."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+torch = pytest.importorskip("torch")
+
+from molvoxel_tpu.interop import VoxelGridDataset, from_torch, to_torch  # noqa: E402
+
+LIG = "/root/reference/test/10gs/10gs_ligand.sdf"
+
+
+def test_to_torch_f32_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 5)).astype(np.float32))
+    t = to_torch(x)
+    assert t.dtype == torch.float32
+    np.testing.assert_array_equal(from_torch(t), np.asarray(x))
+
+
+def test_to_torch_bf16_bit_exact():
+    x = jnp.asarray(np.linspace(-3, 3, 64, dtype=np.float32)).astype(jnp.bfloat16)
+    t = to_torch(x)
+    assert t.dtype == torch.bfloat16
+    # same bits: upcasting both sides to f32 must agree exactly
+    np.testing.assert_array_equal(t.float().numpy(), np.asarray(x).astype(np.float32))
+
+
+@pytest.mark.skipif(not hasattr(torch, "float8_e4m3fn"), reason="torch lacks fp8")
+def test_to_torch_fp8_bit_exact():
+    x = jnp.asarray(np.linspace(0, 1, 32, dtype=np.float32)).astype(jnp.float8_e4m3fn)
+    t = to_torch(x)
+    np.testing.assert_array_equal(t.float().numpy(), np.asarray(x).astype(np.float32))
+
+
+def test_from_torch_bf16_upcasts():
+    t = torch.linspace(-1, 1, 16, dtype=torch.bfloat16)
+    arr = from_torch(t)
+    assert arr.dtype == np.float32
+    np.testing.assert_array_equal(arr, t.float().numpy())
+
+
+@pytest.fixture(scope="module")
+def sdf10(tmp_path_factory):
+    p = tmp_path_factory.mktemp("interop") / "lig10.sdf"
+    p.write_bytes(open(LIG, "rb").read() * 10)
+    return str(p)
+
+
+def test_voxel_grid_dataset_stream(sdf10):
+    from molvoxel_tpu.core.config import GridSpec
+
+    ds = VoxelGridDataset(
+        sdf10, ["C", "N", "O", "S"], GridSpec(0.5, 24),
+        batch_size=4, unknown=True, out_dtype="float32",
+    )
+    grids, counts = [], []
+    for g, n in ds:
+        assert isinstance(g, torch.Tensor) and isinstance(n, torch.Tensor)
+        assert g.shape[0] == 4 and g.shape[1] == 5 and g.shape[2:] == (24, 24, 24)
+        assert g.dtype == torch.float32
+        grids.append(g)
+        counts.append(n)
+    n_all = torch.cat(counts)
+    assert int((n_all > 0).sum()) == 10  # 10 real molecules
+    total = torch.stack([g.sum() for g in grids]).sum()
+    assert float(total) > 0
+    # padded tail slots produce all-zero grids
+    last = grids[-1]
+    for i, n in enumerate(counts[-1]):
+        if int(n) == 0:
+            assert float(last[i].abs().sum()) == 0.0
+
+
+def test_voxel_grid_dataset_bf16_and_dataloader(sdf10):
+    from torch.utils.data import DataLoader
+
+    from molvoxel_tpu.core.config import GridSpec
+
+    ds = VoxelGridDataset(
+        sdf10, ["C", "N", "O"], GridSpec(0.5, 16),
+        batch_size=8, unknown=True, out_dtype="bfloat16",
+        augment=True, random_translation=0.3, seed=7,
+    )
+    seen = 0
+    for g, n in DataLoader(ds, batch_size=None):
+        assert g.dtype == torch.bfloat16
+        assert g.shape[1:] == (4, 16, 16, 16)
+        seen += int((n > 0).sum())
+    assert seen == 10
+
+
+def test_dataset_matches_direct_voxelization(sdf10):
+    """Dataset grids == voxelize_batch on the same padded batch (augment off)."""
+    import jax
+
+    from molvoxel_tpu.core.config import GridSpec
+    from molvoxel_tpu.data.feed import SDFBatchFeeder
+    from molvoxel_tpu.ops.batch import voxelize_batch
+
+    spec = GridSpec(0.5, 24)
+    ds = VoxelGridDataset(
+        sdf10, ["C", "N", "O", "S"], spec, batch_size=16, unknown=True,
+    )
+    got = [g for g, _ in ds]
+    assert len(got) == 1
+
+    feeder = SDFBatchFeeder(sdf10, ["C", "N", "O", "S"], batch_size=16, unknown=True)
+    (batch,) = list(feeder)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch.batch_size)
+    want = voxelize_batch(
+        jnp.asarray(batch.coords), jnp.asarray(batch.weights),
+        jnp.ones((batch.padded_atoms,), jnp.float32), jnp.asarray(batch.mask),
+        None if batch.centers is None else jnp.asarray(batch.centers), keys, 0.0,
+        spec=spec, density_type="gaussian", sigma=0.5, random_rotation=False,
+    )
+    np.testing.assert_allclose(got[0].numpy(), np.asarray(want), atol=1e-6)
