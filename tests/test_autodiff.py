@@ -131,3 +131,52 @@ def test_grad_through_transform(rng):
 
     g = np.asarray(jax.grad(loss)(coords))
     assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+
+
+def test_pose_recovery_by_gradient_descent(rng):
+    """Rigid pose is recoverable from a density grid alone (examples/pose_optimize.py).
+
+    The end-to-end differentiability claim as a convergence test: gradient
+    descent on (quaternion, shift) through the voxelizer shrinks coordinate
+    RMSD to the hidden pose by >5x in a few dozen steps."""
+    optax = pytest.importorskip("optax")
+    from molvoxel_tpu.core.transform import apply_quaternion
+
+    spec = GridSpec(0.5, 16)
+    coords0 = jnp.asarray(rng.uniform(-2.0, 2.0, (12, 3)).astype(np.float32))
+    coords0 = coords0 - coords0.mean(0)
+    weights = jnp.ones((12, 1), jnp.float32)
+    radii = jnp.ones((12,), jnp.float32)
+
+    q_true = jnp.array([0.95, 0.2, -0.15, 0.1])
+    q_true = q_true / jnp.linalg.norm(q_true)
+    t_true = jnp.array([0.4, -0.3, 0.25])
+    target_coords = apply_quaternion(coords0, q_true) + t_true
+    target = voxelize_dense(target_coords, weights, radii, spec=spec, sigma=1.0)
+
+    def pose(params):
+        q = params["q"] / jnp.linalg.norm(params["q"])
+        return apply_quaternion(coords0, q) + params["t"]
+
+    def loss_fn(params):
+        grid = voxelize_dense(pose(params), weights, radii, spec=spec, sigma=1.0)
+        return jnp.mean((grid - target) ** 2) * 1e4
+
+    params = {"q": jnp.array([1.0, 0.0, 0.0, 0.0]), "t": jnp.zeros(3)}
+    opt = optax.adam(5e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    def rmsd(a, b):
+        return float(jnp.sqrt(jnp.mean(jnp.sum((a - b) ** 2, -1))))
+
+    r0 = rmsd(pose(params), target_coords)
+    for _ in range(80):
+        params, state, _ = step(params, state)
+    r1 = rmsd(pose(params), target_coords)
+    assert r1 < r0 / 5, f"pose RMSD {r0:.3f} -> {r1:.3f}: did not converge"
