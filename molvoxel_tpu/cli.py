@@ -278,8 +278,12 @@ def _run_throughput(args, spec, path, symbols) -> int:
             presort=args.presort, spec=spec if args.presort else None,
         )
         t0 = time.time()
+        # --wire: the feeder's all-native wire path (parse, assemble, presort,
+        # quantize all in GIL-releasing C) — the driver thread only moves
+        # buffers, so assembly genuinely overlaps dispatch on a 2-core host
+        src = feeder.iter_wire(spec) if args.wire else iter(feeder)
         stats, checksum = stream_checksum(
-            prefetch_iter(iter(feeder)), spec,
+            prefetch_iter(src), spec,
             chunk=chunk, density_type=args.density, sigma=args.sigma,
             radii=args.radii, random_translation=args.random_translation,
             random_rotation=args.random_rotation, out_dtype=args.out_dtype,

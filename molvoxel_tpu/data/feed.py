@@ -341,6 +341,82 @@ def wire_scale(spec) -> float:
     return float(2 ** int(math.floor(math.log2(32767.0 / need))))
 
 
+def assemble_wire(
+    fc: FlatClouds,
+    batch_size: int,
+    *,
+    num_channels: int,
+    scale: float,
+    spec,
+    bucket: int | None = None,
+    presort: bool = False,
+    pad_tail: bool = False,
+) -> tuple[list[tuple[np.ndarray, np.ndarray]], FlatClouds]:
+    """FlatClouds -> whole wire batches ((B, Vp, 4) int16, (B,) num_atoms).
+
+    The all-native fast path of the streaming assembly: one GIL-releasing
+    C pass (native/fastparse.cpp wire_assemble) replaces assemble_batches +
+    morton_presort + pack_wire — per molecule it centers, optionally
+    Morton-sorts, quantizes, and writes the wire rows directly.  Falls back
+    to composing those numpy stages when the native lib is absent; results
+    are identical either way (tests/test_feed.py).  Returns (batches, carry)
+    with the same carry semantics as assemble_batches.
+    """
+    m = fc.num_molecules
+    nb = m // batch_size
+    mg = nb * batch_size
+    if pad_tail and mg < m:
+        nb += 1
+        mg = nb * batch_size
+    if nb == 0:
+        return [], fc
+
+    use = fc.slice_molecules(0, min(mg, m))
+    carry = fc.slice_molecules(min(mg, m), m)
+    counts = use.counts
+    if len(counts) < mg:  # pad_tail: virtual empty molecules
+        counts = np.concatenate([counts, np.zeros(mg - len(counts), np.int64)])
+    vmax = int(counts.max(initial=0))
+    vp = bucket if bucket is not None else small_atom_bucket(max(vmax, 1))
+    if vp < vmax:
+        raise ValueError(f"bucket {vp} smaller than max atom count {vmax}")
+
+    from ..native.fastparse import wire_assemble_native
+
+    cells = 31
+    out = wire_assemble_native(
+        use.coords, use.types, counts, vp, scale,
+        presort and vp > 128, float(spec.lower_bound), cells / max(spec.width, 1e-6), cells,
+    )
+    if out is not None:
+        wire, num_atoms = out
+    else:  # numpy fallback: compose the existing stages
+        fc_pad = use if len(counts) == use.num_molecules else FlatClouds(use.coords, use.types, counts)
+        batches, _ = assemble_batches(fc_pad, num_channels, batch_size, bucket=vp, compact=True)
+        parts_w, parts_n = [], []
+        for b in batches:
+            if presort and b.padded_atoms > 128:
+                b = morton_presort(b, spec)
+            w = pack_wire(b, scale)
+            # match the native padding convention: padded slots park off-box
+            # (+32767 steps >= 8 A beyond the grid) so the kernel's plane
+            # ranges prune them; pack_wire alone leaves them at -center
+            w[w[..., 3] == -1] = np.array([32767, 32767, 32767, -1], np.int16)
+            parts_w.append(w)
+            parts_n.append(b.num_atoms)
+        wire = np.concatenate(parts_w) if parts_w else np.zeros((0, vp, 4), np.int16)
+        num_atoms = np.concatenate(parts_n) if parts_n else np.zeros((0,), np.int32)
+
+    return (
+        [
+            (wire[i * batch_size : (i + 1) * batch_size],
+             num_atoms[i * batch_size : (i + 1) * batch_size])
+            for i in range(nb)
+        ],
+        carry,
+    )
+
+
 def pack_wire(batch: PaddedBatch, scale: float) -> np.ndarray:
     """Compact batch -> ONE (B, Vp, 4) int16 wire array [x_q, y_q, z_q, type].
 
@@ -485,7 +561,9 @@ class SDFBatchFeeder:
             flat, self.symbol_table, unknown=self.unknown, keep_hydrogens=self.keep_hydrogens
         )
 
-    def __iter__(self) -> Iterator[PaddedBatch]:
+    def _pump(self) -> Iterator[tuple[FlatClouds, bool]]:
+        """Shard-parallel parse pump: yields (parsed chunk, is-last) in file
+        order with at most ``workers + 1`` shards in flight."""
         buf = self.path.read_bytes()
         n_shards = self.shards
         if n_shards is None:
@@ -494,7 +572,6 @@ class SDFBatchFeeder:
         self.molecules_fed = 0
         self.records_fed = 0
 
-        carry = concat_flat_clouds([])
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
             pending = []
             idx = 0
@@ -510,21 +587,46 @@ class SDFBatchFeeder:
             while pending:
                 fc = pending.pop(0).result()
                 submit_up_to(self.workers + 1)
-                last = not pending and idx >= len(spans)
-                chunk = concat_flat_clouds([carry, fc])
-                batches, carry = assemble_batches(
-                    chunk,
-                    self.num_channels,
-                    self.batch_size,
-                    bucket=self.bucket,
-                    center=self.center,
-                    radii_by_type=self.radii_by_type,
-                    pad_tail=last,
-                    compact=self.compact,
-                )
-                self.records_fed += chunk.num_molecules - carry.num_molecules
-                for b in batches:
-                    self.molecules_fed += int((b.num_atoms > 0).sum())
-                    if self.presort and b.padded_atoms > 128:
-                        b = morton_presort(b, self.spec)
-                    yield b
+                yield fc, not pending and idx >= len(spans)
+
+    def __iter__(self) -> Iterator[PaddedBatch]:
+        carry = concat_flat_clouds([])
+        for fc, last in self._pump():
+            chunk = concat_flat_clouds([carry, fc])
+            batches, carry = assemble_batches(
+                chunk,
+                self.num_channels,
+                self.batch_size,
+                bucket=self.bucket,
+                center=self.center,
+                radii_by_type=self.radii_by_type,
+                pad_tail=last,
+                compact=self.compact,
+            )
+            self.records_fed += chunk.num_molecules - carry.num_molecules
+            for b in batches:
+                self.molecules_fed += int((b.num_atoms > 0).sum())
+                if self.presort and b.padded_atoms > 128:
+                    b = morton_presort(b, self.spec)
+                yield b
+
+    def iter_wire(self, spec, scale: float | None = None) -> Iterator[tuple]:
+        """Stream ((B, Vp, 4) int16 wire, (B,) num_atoms, num_channels).
+
+        The all-native streaming fast path: shards parse in C, batches
+        assemble/center/presort/quantize in one C pass (assemble_wire) —
+        the Python driver only hands buffers around, so the feed fully
+        overlaps the dispatch thread (both C calls release the GIL)."""
+        if scale is None:
+            scale = wire_scale(spec)
+        carry = concat_flat_clouds([])
+        for fc, last in self._pump():
+            chunk = concat_flat_clouds([carry, fc])
+            items, carry = assemble_wire(
+                chunk, self.batch_size, num_channels=self.num_channels, scale=scale,
+                spec=spec, bucket=self.bucket, presort=self.presort, pad_tail=last,
+            )
+            self.records_fed += chunk.num_molecules - carry.num_molecules
+            for wire, num_atoms in items:
+                self.molecules_fed += int((num_atoms > 0).sum())
+                yield wire, num_atoms, self.num_channels

@@ -17,10 +17,12 @@
 //       bonds:   int32[total_bonds * 3]  (i, j, order), 0-based atom indices
 //   returns number of molecules parsed, or -1 on malformed input.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <vector>
 
 namespace {
 
@@ -184,6 +186,105 @@ int64_t sdf_parse(const char* buf, int64_t buflen, double* coords, char* symbols
     skip_to_record_end(c);
   }
   return mols;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wire-batch assembly: FlatClouds columns -> (M, Vp, 4) int16 wire batches.
+//
+// Replaces the numpy superbatch assembly of the streaming path
+// (data/feed.py assemble_batches + morton_presort + pack_wire) with one
+// GIL-releasing pass: per molecule, center (f64-accumulated mean cast to
+// f32, matching _group_centers), optionally Morton-sort atoms by 5-bit
+// cell keys (matching morton_presort bit for bit), quantize centered
+// coords to int16 fixed point at `scale` steps/A (round-half-even, matching
+// np.rint), and write [x_q, y_q, z_q, type] rows; padding slots get
+// type = -1.  Measured motivation: host assembly contended with the feed
+// driver for the 2 host cores and cost ~16k mols/s of the stream lane
+// (docs/DESIGN.md 3b).
+//
+//   wire_assemble(coords f32 (TA,3), types i32 (TA,), counts i64 (M,),
+//                 m, vp, scale, presort, cell_lb, cell_scale, cells,
+//                 wire i16 (M*vp*4), num_atoms i32 (M,)) -> molecules written
+
+namespace {
+
+// bit i of a 5-bit value lands at bit 3i (data/feed.py _MORTON_PART_TABLE)
+inline int32_t morton_part(int32_t v) {
+  int32_t r = 0;
+  for (int i = 0; i < 5; ++i) r |= ((v >> i) & 1) << (3 * i);
+  return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t wire_assemble(const float* coords, const int32_t* types, const int64_t* counts,
+                      int64_t m, int64_t vp, float scale, int32_t presort,
+                      float cell_lb, float cell_scale, int32_t cells,
+                      int16_t* wire, int32_t* num_atoms) {
+  std::vector<std::pair<int32_t, int32_t>> order;  // (key, source index)
+  int64_t base = 0;
+  for (int64_t mi = 0; mi < m; ++mi) {
+    const int64_t n = counts[mi];
+    num_atoms[mi] = static_cast<int32_t>(n);
+    const float* mc = coords + base * 3;
+    const int32_t* mt = types + base;
+    int16_t* w = wire + mi * vp * 4;
+
+    double sx = 0.0, sy = 0.0, sz = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+      sx += mc[i * 3 + 0];
+      sy += mc[i * 3 + 1];
+      sz += mc[i * 3 + 2];
+    }
+    const double inv = n > 0 ? 1.0 / static_cast<double>(n) : 0.0;
+    const float cx = static_cast<float>(sx * inv);
+    const float cy = static_cast<float>(sy * inv);
+    const float cz = static_cast<float>(sz * inv);
+
+    if (presort && n > 1) {
+      order.clear();
+      for (int64_t i = 0; i < n; ++i) {
+        int32_t cell[3];
+        const float ctr[3] = {cx, cy, cz};
+        for (int ax = 0; ax < 3; ++ax) {
+          float v = (mc[i * 3 + ax] - ctr[ax] - cell_lb) * cell_scale;
+          if (v < 0.0f) v = 0.0f;
+          if (v > static_cast<float>(cells)) v = static_cast<float>(cells);
+          cell[ax] = static_cast<int32_t>(v);  // truncation, matches .astype(int32)
+        }
+        const int32_t key =
+            (morton_part(cell[0]) << 2) | (morton_part(cell[1]) << 1) | morton_part(cell[2]);
+        order.emplace_back(key, static_cast<int32_t>(i));
+      }
+      std::stable_sort(order.begin(), order.end(),
+                       [](const auto& a, const auto& b) { return a.first < b.first; });
+    }
+
+    for (int64_t s = 0; s < n; ++s) {
+      const int64_t i = (presort && n > 1) ? order[s].second : s;
+      for (int ax = 0; ax < 3; ++ax) {
+        const float ctr = ax == 0 ? cx : (ax == 1 ? cy : cz);
+        float q = nearbyintf((mc[i * 3 + ax] - ctr) * scale);  // round-half-even = np.rint
+        if (q > 32767.0f) q = 32767.0f;
+        if (q < -32767.0f) q = -32767.0f;
+        w[s * 4 + ax] = static_cast<int16_t>(q);
+      }
+      w[s * 4 + 3] = static_cast<int16_t>(mt[i]);
+    }
+    for (int64_t s = n; s < vp; ++s) {
+      // padding parks at +32767 steps (>= 8 A beyond the box by wire_scale
+      // construction): the kernel's plane ranges prune these slots entirely,
+      // unlike box-center padding which costs zero-weight range work
+      w[s * 4 + 0] = w[s * 4 + 1] = w[s * 4 + 2] = 32767;
+      w[s * 4 + 3] = -1;
+    }
+    base += n;
+  }
+  return m;
 }
 
 }  // extern "C"

@@ -46,8 +46,50 @@ def _load():
         np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_int64,
     ]
+    lib.wire_assemble.restype = ctypes.c_int64
+    lib.wire_assemble.argtypes = [
+        np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS"),
+    ]
     _lib = lib
     return lib
+
+
+def wire_assemble_native(coords, types, counts, vp, scale, presort, cell_lb, cell_scale,
+                         cells: int = 31):
+    """One C pass: FlatClouds columns -> ((M, Vp, 4) int16 wire, (M,) num_atoms).
+
+    None when the native lib is absent (data/feed.py composes the numpy
+    fallback).  The GIL is released for the whole call (ctypes), so assembly
+    overlaps the stream driver thread — the numpy path could not
+    (docs/DESIGN.md 3b: host assembly cost ~16k mols/s of the stream lane).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    m = len(counts)
+    wire = np.empty((m, vp, 4), np.int16)
+    num_atoms = np.empty((m,), np.int32)
+    got = lib.wire_assemble(
+        np.ascontiguousarray(coords, np.float32),
+        np.ascontiguousarray(types, np.int32),
+        np.ascontiguousarray(counts, np.int64),
+        m, vp, float(scale), int(bool(presort)),
+        float(cell_lb), float(cell_scale), int(cells),
+        wire, num_atoms,
+    )
+    assert got == m
+    return wire, num_atoms
 
 
 NATIVE_AVAILABLE = _load() is not None

@@ -388,6 +388,16 @@ def stream_checksum(
 
         def staged():
             for batch in batches:
+                if isinstance(batch, tuple):
+                    # pre-packed wire from SDFBatchFeeder.iter_wire (all-native
+                    # assembly): nothing left to do on this thread but H2D
+                    wire_arr, num_atoms, nc = batch
+                    if wire_arr.shape[0] % chunk:
+                        raise ValueError(
+                            f"batch_size {wire_arr.shape[0]} not a multiple of chunk {chunk}"
+                        )
+                    yield jax.device_put(wire_arr), int((num_atoms > 0).sum()), nc
+                    continue
                 if batch.types is None:
                     raise ValueError("stream_checksum(wire=True) needs compact batches")
                 if batch.batch_size % chunk:

@@ -413,3 +413,93 @@ class TestWireFormat:
         _, cs_plain = stream_checksum(iter([batch]), spec, chunk=2)
         _, cs_wire = stream_checksum(iter([batch]), spec, chunk=2, wire=True)
         assert cs_plain == cs_wire
+
+
+class TestAssembleWire:
+    """All-native wire assembly (assemble_wire / SDFBatchFeeder.iter_wire)."""
+
+    def _numpy_wire(self, batches, spec, scale, presort):
+        from molvoxel_tpu.data.feed import pack_wire
+
+        out = []
+        for b in batches:
+            if presort and b.padded_atoms > 128:
+                b = morton_presort(b, spec)
+            w = pack_wire(b, scale)
+            w[w[..., 3] == -1] = np.array([32767, 32767, 32767, -1], np.int16)
+            out.append((w, b.num_atoms))
+        return out
+
+    @pytest.mark.parametrize("presort", [False, True])
+    def test_native_matches_numpy_composition(self, tmp_path, presort):
+        """wire_assemble (C) == assemble_batches + morton_presort + pack_wire."""
+        from molvoxel_tpu.data.feed import wire_scale
+        from molvoxel_tpu.native.fastparse import NATIVE_AVAILABLE
+
+        if not NATIVE_AVAILABLE:
+            pytest.skip("native lib unavailable")
+        path = _make_sdf(tmp_path, 10)
+        spec = GridSpec(resolution=0.5, dimension=64)
+        scale = wire_scale(spec)
+        feeder_kw = dict(batch_size=4, compact=True)
+        want = self._numpy_wire(
+            SDFBatchFeeder(path, SYMBOLS, **feeder_kw), spec, scale, presort
+        )
+        feeder = SDFBatchFeeder(path, SYMBOLS, **feeder_kw, presort=presort,
+                                spec=spec if presort else None)
+        got = list(feeder.iter_wire(spec))
+        assert len(got) == len(want) == 3  # 10 mols -> 2 full + 1 padded tail
+        for (gw, gn, nc), (ww, wn) in zip(got, want):
+            assert nc == len(SYMBOLS)
+            np.testing.assert_array_equal(gn, wn)
+            np.testing.assert_array_equal(gw, ww)
+        assert feeder.molecules_fed == 10
+
+    def test_presort_native_matches_numpy_large(self, tmp_path):
+        """>128-atom molecules actually exercise the in-C Morton sort."""
+        from molvoxel_tpu.data.feed import assemble_wire, wire_scale
+        from molvoxel_tpu.native.fastparse import NATIVE_AVAILABLE, wire_assemble_native
+
+        if not NATIVE_AVAILABLE:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(5)
+        m, v = 6, 300
+        coords = rng.uniform(-8, 8, size=(m * v, 3)).astype(np.float32)
+        types = rng.integers(0, 4, size=(m * v,)).astype(np.int32)
+        counts = np.full((m,), v, np.int64)
+        fc = FlatClouds(coords, types, counts)
+        spec = GridSpec(resolution=0.5, dimension=48)
+        scale = wire_scale(spec)
+
+        items, carry = assemble_wire(
+            fc, 2, num_channels=4, scale=scale, spec=spec, presort=True
+        )
+        assert carry.num_molecules == 0 and len(items) == 3
+
+        import molvoxel_tpu.data.feed as feed_mod
+        import molvoxel_tpu.native.fastparse as fp_mod
+
+        orig = fp_mod.wire_assemble_native
+        fp_mod.wire_assemble_native = lambda *a, **k: None
+        try:
+            want_items, _ = assemble_wire(
+                fc, 2, num_channels=4, scale=scale, spec=spec, presort=True
+            )
+        finally:
+            fp_mod.wire_assemble_native = orig
+        for (gw, gn), (ww, wn) in zip(items, want_items):
+            np.testing.assert_array_equal(gn, wn)
+            np.testing.assert_array_equal(gw, ww)
+
+    def test_iter_wire_stream_checksum(self, tmp_path):
+        """The pre-packed wire stream equals packing PaddedBatches on the fly."""
+        from molvoxel_tpu.parallel.stream import stream_checksum
+
+        path = _make_sdf(tmp_path, 8)
+        spec = GridSpec(resolution=0.5, dimension=16)
+        batches = list(SDFBatchFeeder(path, SYMBOLS, batch_size=8, compact=True))
+        _, cs_batch = stream_checksum(iter(batches), spec, chunk=4, wire=True)
+        feeder = SDFBatchFeeder(path, SYMBOLS, batch_size=8, compact=True)
+        stats, cs_pre = stream_checksum(feeder.iter_wire(spec), spec, chunk=4, wire=True)
+        assert stats.molecules == 8
+        assert cs_batch == cs_pre
