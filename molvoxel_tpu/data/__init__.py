@@ -13,6 +13,7 @@ from .feed import (
     FlatClouds,
     SDFBatchFeeder,
     assemble_batches,
+    assemble_wire,
     flat_clouds,
     map_symbols,
     morton_presort,
@@ -40,6 +41,7 @@ __all__ = [
     "FlatClouds",
     "SDFBatchFeeder",
     "assemble_batches",
+    "assemble_wire",
     "flat_clouds",
     "map_symbols",
     "morton_presort",
