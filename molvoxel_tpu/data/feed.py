@@ -529,6 +529,9 @@ class SDFBatchFeeder:
         compact: bool = False,
         presort: bool = False,
         spec=None,
+        shuffle_seed: int | None = None,
+        span_offset: int = 0,
+        span_stride: int = 1,
     ):
         self.path = Path(path)
         self.symbols = list(symbols)
@@ -548,6 +551,16 @@ class SDFBatchFeeder:
             raise ValueError("presort=True needs spec= (the GridSpec sets the Morton cell size)")
         self.presort = presort
         self.spec = spec
+        # Shard-level epoch shuffle + disjoint striping for parallel loaders:
+        # every reader shuffles the span list with the SAME seed, then takes
+        # spans[offset::stride] — readers with distinct offsets and a common
+        # stride cover the file exactly once between them (the torch
+        # DataLoader num_workers>0 contract, interop.VoxelGridDataset).
+        # Shuffle granularity is the record-aligned shard (records within a
+        # shard stay in file order); lower target_shard_bytes for finer mixing.
+        self.shuffle_seed = shuffle_seed
+        self.span_offset = span_offset
+        self.span_stride = max(1, span_stride)
         self.molecules_fed = 0  # molecules with >= 1 atom (what a consumer voxelizes)
         self.records_fed = 0  # real file records emitted as batch slots (incl. 0-atom)
 
@@ -569,6 +582,10 @@ class SDFBatchFeeder:
         if n_shards is None:
             n_shards = max(self.workers, -(-len(buf) // self.target_shard_bytes))
         spans = _record_shards(buf, n_shards)
+        if self.shuffle_seed is not None:
+            # deterministic by seed so striped readers agree on the permutation
+            np.random.default_rng(self.shuffle_seed).shuffle(spans)
+        spans = spans[self.span_offset :: self.span_stride]
         self.molecules_fed = 0
         self.records_fed = 0
 

@@ -102,6 +102,16 @@ class VoxelGridDataset(_IterableDataset):
     ``random_translation`` Å jitter) per molecule per pass — infinite-epoch
     augmentation without precomputing grids, which the reference cannot do
     (its torch path runs under ``no_grad`` on precomputed tensors).
+
+    ``DataLoader(ds, batch_size=None, num_workers=N)`` is supported: each
+    worker reads a disjoint stripe of the file's record shards (the usual
+    IterableDataset duplication trap is handled), with per-worker RNG
+    streams.  Pass ``multiprocessing_context="spawn"`` alongside
+    ``num_workers>0`` — the workers run JAX, which does not survive
+    ``fork()`` from a JAX-initialized parent.  ``shuffle=True`` reshuffles
+    the shard order every epoch (deterministically from ``seed`` + epoch;
+    records within an ~8 MB shard stay in file order — pass
+    ``feeder_kwargs={"target_shard_bytes": ...}`` for finer mixing).
     """
 
     def __init__(
@@ -120,6 +130,7 @@ class VoxelGridDataset(_IterableDataset):
         random_translation: float = 0.0,
         seed: int = 0,
         workers: int = 2,
+        shuffle: bool = False,
         feeder_kwargs: dict | None = None,
     ):
         _require_torch()
@@ -139,9 +150,11 @@ class VoxelGridDataset(_IterableDataset):
         self.random_translation = random_translation
         self.seed = seed
         self.workers = workers
+        self.shuffle = shuffle
         self.feeder_kwargs = dict(feeder_kwargs or {})
+        self._epoch = 0
 
-    def _feeder(self):
+    def _feeder(self, worker_id: int = 0, num_workers: int = 1, epoch: int = 0):
         from .data.feed import SDFBatchFeeder
 
         return SDFBatchFeeder(
@@ -150,11 +163,20 @@ class VoxelGridDataset(_IterableDataset):
             batch_size=self.batch_size,
             unknown=self.unknown,
             workers=self.workers,
+            shuffle_seed=self.seed + epoch if self.shuffle else None,
+            span_offset=worker_id,
+            span_stride=num_workers,
             **self.feeder_kwargs,
         )
 
     def __iter__(self) -> Iterator[tuple]:
         from .parallel.stream import StreamingVoxelizer
+
+        info = torch.utils.data.get_worker_info()
+        worker_id = info.id if info is not None else 0
+        num_workers = info.num_workers if info is not None else 1
+        epoch = self._epoch
+        self._epoch += 1  # advances per pass (in each worker copy identically)
 
         sv = StreamingVoxelizer(
             self.spec,
@@ -165,13 +187,13 @@ class VoxelGridDataset(_IterableDataset):
             random_rotation=self.augment,
             random_translation=self.random_translation if self.augment else 0.0,
             out_dtype=self.out_dtype,
-            seed=self.seed,
+            seed=self.seed + 1000003 * worker_id + epoch,
         )
         import jax.numpy as jnp
 
         radii_dev = None
         pending = None
-        for batch in self._feeder():
+        for batch in self._feeder(worker_id, num_workers, epoch):
             if radii_dev is None or radii_dev.shape[0] != batch.padded_atoms:
                 radii_dev = jnp.full((batch.padded_atoms,), float(self.radii), jnp.float32)
             images = sv._dispatch(batch, radii_dev)  # async on-device

@@ -115,3 +115,39 @@ def test_dataset_matches_direct_voxelization(sdf10):
         spec=spec, density_type="gaussian", sigma=0.5, random_rotation=False,
     )
     np.testing.assert_allclose(got[0].numpy(), np.asarray(want), atol=1e-6)
+
+
+def test_dataset_worker_striping_no_duplication(sdf10, monkeypatch):
+    """Two simulated DataLoader workers cover the file disjointly — the
+    IterableDataset duplication trap is handled via span striping."""
+    from molvoxel_tpu.core.config import GridSpec
+
+    class Info:
+        def __init__(self, wid, n):
+            self.id = wid
+            self.num_workers = n
+
+    totals = []
+    for wid in range(2):
+        monkeypatch.setattr(torch.utils.data, "get_worker_info", lambda w=wid: Info(w, 2))
+        ds = VoxelGridDataset(
+            sdf10, ["C", "N", "O", "S"], GridSpec(0.5, 16),
+            batch_size=4, unknown=True,
+            feeder_kwargs={"shards": 4},
+        )
+        totals.append(sum(int((n > 0).sum()) for _, n in ds))
+    assert sum(totals) == 10 and all(t > 0 for t in totals)
+
+
+def test_dataset_shuffle_reorders_per_epoch(sdf10):
+    """shuffle=True permutes shard order deterministically per epoch while
+    covering every molecule."""
+    from molvoxel_tpu.core.config import GridSpec
+
+    ds = VoxelGridDataset(
+        sdf10, ["C", "N", "O", "S"], GridSpec(0.5, 16),
+        batch_size=2, unknown=True, shuffle=True, seed=3,
+        feeder_kwargs={"shards": 5},
+    )
+    for _ in range(2):  # two epochs, both complete
+        assert sum(int((n > 0).sum()) for _, n in ds) == 10
