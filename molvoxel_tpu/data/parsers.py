@@ -193,12 +193,62 @@ def write_pdb(mol: SimpleMolecule, path: str | Path) -> None:
         fh.write("\n".join(lines) + "\n")
 
 
+def iter_xyz(path: str | Path) -> Iterator[SimpleMolecule]:
+    """Iterate a (possibly multi-record, QM9-style) XYZ file.
+
+    Format per record: atom count line, comment line, then ``symbol x y z``
+    rows (extra columns — e.g. QM9's Mulliken charges — are ignored).
+    Fortran-style ``1.234*^-5`` exponents (as found in QM9) are accepted.
+    No bonds: XYZ carries none, so bond-channel getters see an empty list
+    (the reference has no XYZ path at all — its users must detour through
+    RDKit, /root/reference/molvoxel/etc/rdkit/wrapper.py).
+    """
+
+    def _f(tok: str) -> float:
+        return float(tok.replace("*^", "e"))
+
+    with _open_text(path) as fh:
+        lines = fh.read().splitlines()
+    i, n = 0, len(lines)
+    while i < n:
+        if not lines[i].strip():
+            i += 1
+            continue
+        na = int(lines[i].strip())
+        name = lines[i + 1].strip()
+        rows = lines[i + 2 : i + 2 + na]
+        symbols = []
+        coords = np.empty((na, 3), np.float64)
+        for j, row in enumerate(rows):
+            t = row.split()
+            symbols.append(t[0])
+            coords[j] = (_f(t[1]), _f(t[2]), _f(t[3]))
+        yield SimpleMolecule(coords=coords, symbols=symbols, bonds=[], name=name)
+        i += 2 + na
+
+
+def read_xyz(path: str | Path) -> SimpleMolecule:
+    """Read the first molecule of an XYZ file."""
+    return next(iter_xyz(path))
+
+
+def write_xyz(mol: SimpleMolecule, path: str | Path) -> None:
+    """Write one molecule as an XYZ record (appendable multi-record format)."""
+    lines = [str(mol.num_atoms), mol.name or ""]
+    for sym, (x, y, z) in zip(mol.symbols, mol.coords):
+        lines.append(f"{sym} {x:.8f} {y:.8f} {z:.8f}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
 def read_molecule(path: str | Path, **kwargs) -> SimpleMolecule:
-    """Dispatch by file extension (.sdf/.mol -> SDF, .pdb -> PDB)."""
+    """Dispatch by file extension (.sdf/.mol -> SDF, .pdb -> PDB, .xyz)."""
     suffixes = Path(path).suffixes
     ext = suffixes[-2] if suffixes and suffixes[-1] == ".gz" and len(suffixes) > 1 else Path(path).suffix
     if ext in (".sdf", ".mol"):
         return read_sdf(path)
     if ext in (".pdb", ".ent"):
         return read_pdb(path, **kwargs)
+    if ext == ".xyz":
+        return read_xyz(path)
     raise ValueError(f"unsupported molecular file type: {path}")

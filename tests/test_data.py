@@ -376,3 +376,48 @@ class TestParserRobustness:
         from molvoxel_tpu.data.parsers import iter_sdf
 
         assert list(iter_sdf(path)) == []
+
+
+class TestXYZ:
+    """XYZ parsing (QM9-style multi-record, Fortran exponents)."""
+
+    def test_roundtrip_and_multirecord(self, tmp_path):
+        from molvoxel_tpu.data import iter_xyz, read_molecule, read_xyz, write_xyz
+        from molvoxel_tpu.data.parsers import SimpleMolecule
+
+        mol = SimpleMolecule(
+            coords=np.array([[0.0, 0.0, 0.0], [1.1, 0.0, 0.0], [0.0, 1.1, 0.0]]),
+            symbols=["C", "O", "H"], bonds=[], name="test mol",
+        )
+        p = tmp_path / "one.xyz"
+        write_xyz(mol, p)
+        got = read_xyz(p)
+        assert got.symbols == ["C", "O", "H"] and got.name == "test mol"
+        np.testing.assert_allclose(got.coords, mol.coords, atol=1e-8)
+        assert read_molecule(p).num_atoms == 3
+
+        # multi-record with QM9 quirks: extra columns + Fortran exponent
+        (tmp_path / "multi.xyz").write_text(
+            "2\nrec1\nC 0.0 0.0 0.0 -0.53\nH 1.0*^-1 0.0 2.5*^-2 0.12\n"
+            "1\nrec2\nN 1.0 2.0 3.0\n"
+        )
+        mols = list(iter_xyz(tmp_path / "multi.xyz"))
+        assert [m.num_atoms for m in mols] == [2, 1]
+        np.testing.assert_allclose(mols[0].coords[1], [0.1, 0.0, 0.025])
+        assert mols[1].symbols == ["N"]
+
+    def test_xyz_voxelizes_through_wrapper(self, tmp_path):
+        from molvoxel_tpu import create_voxelizer
+        from molvoxel_tpu.data import AtomTypeGetter, MolPointCloudMaker, MolWrapper, read_xyz
+        from molvoxel_tpu.data.parsers import SimpleMolecule, write_xyz
+
+        mol = SimpleMolecule(
+            coords=np.random.default_rng(0).uniform(-2, 2, (8, 3)),
+            symbols=["C", "N", "O", "C", "C", "O", "N", "C"], bonds=[], name="x",
+        )
+        p = tmp_path / "m.xyz"
+        write_xyz(mol, p)
+        maker = MolPointCloudMaker(AtomTypeGetter(["C", "N", "O"]), None, channel_type="types")
+        vox = create_voxelizer(resolution=0.5, dimension=16)
+        img = MolWrapper(maker, vox).run(read_xyz(p), center=mol.coords.mean(0), radii=1.0)
+        assert img.shape == (3, 16, 16, 16) and float(np.abs(img).sum()) > 0
