@@ -191,9 +191,13 @@ class VoxelGridDataset(_IterableDataset):
         )
         import jax.numpy as jnp
 
+        from .data.feed import prefetch_iter
+
         radii_dev = None
         pending = None
-        for batch in self._feeder(worker_id, num_workers, epoch):
+        # prefetch: parse/assembly runs one batch ahead on a worker thread,
+        # overlapping the device dispatch + torch conversion below
+        for batch in prefetch_iter(iter(self._feeder(worker_id, num_workers, epoch))):
             if radii_dev is None or radii_dev.shape[0] != batch.padded_atoms:
                 radii_dev = jnp.full((batch.padded_atoms,), float(self.radii), jnp.float32)
             images = sv._dispatch(batch, radii_dev)  # async on-device
