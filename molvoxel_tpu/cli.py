@@ -279,11 +279,12 @@ def _run_throughput(args, spec, path, symbols) -> int:
         )
         t0 = time.time()
         # --wire: the feeder's all-native wire path (parse, assemble, presort,
-        # quantize all in GIL-releasing C) — the driver thread only moves
-        # buffers, so assembly genuinely overlaps dispatch on a 2-core host
-        src = feeder.iter_wire(spec) if args.wire else iter(feeder)
+        # quantize all in GIL-releasing C).  No extra prefetch hop here —
+        # stream_checksum's staging thread already overlaps assembly with
+        # dispatch, and a second hop only adds GIL churn (measured -3%).
+        src = feeder.iter_wire(spec) if args.wire else prefetch_iter(iter(feeder))
         stats, checksum = stream_checksum(
-            prefetch_iter(src), spec,
+            src, spec,
             chunk=chunk, density_type=args.density, sigma=args.sigma,
             radii=args.radii, random_translation=args.random_translation,
             random_rotation=args.random_rotation, out_dtype=args.out_dtype,
