@@ -578,6 +578,10 @@ class SDFBatchFeeder:
         """Shard-parallel parse pump: yields (parsed chunk, is-last) in file
         order with at most ``workers + 1`` shards in flight."""
         buf = self.path.read_bytes()
+        if self.path.suffix == ".gz":  # .sdf.gz — the common library distribution form
+            import gzip
+
+            buf = gzip.decompress(buf)
         n_shards = self.shards
         if n_shards is None:
             n_shards = max(self.workers, -(-len(buf) // self.target_shard_bytes))

@@ -543,3 +543,16 @@ class TestShuffleStripe:
         sa = [fc.num_molecules for fc, _ in fa._pump()]
         sb = [fc.num_molecules for fc, _ in fb._pump()]
         assert sum(sa) == sum(sb) == 12
+
+
+def test_feeder_reads_gzipped_sdf(tmp_path):
+    """SDFBatchFeeder transparently decompresses .sdf.gz libraries."""
+    import gzip
+
+    rec = open(LIGAND, "rb").read()
+    path = tmp_path / "lib.sdf.gz"
+    path.write_bytes(gzip.compress(rec * 5))
+    feeder = SDFBatchFeeder(path, SYMBOLS, batch_size=5, compact=True)
+    (batch,) = list(feeder)
+    assert feeder.molecules_fed == 5
+    assert int((batch.num_atoms > 0).sum()) == 5
