@@ -38,14 +38,25 @@ def _cmd_info(args) -> int:
     return 0
 
 
-def _load_molecules(path: Path, hydrogens: bool):
-    from .data.parsers import read_pdb
-    from .native import parse_sdf_file
+def _is_sdf(path: Path) -> bool:
+    return path.suffix in (".sdf", ".mol") or path.suffixes[-2:] == [".sdf", ".gz"]
 
-    if path.suffix in (".sdf", ".mol"):
+
+def _load_molecules(path: Path, hydrogens: bool):
+    from .data.parsers import iter_xyz, read_pdb
+    from .native import parse_sdf_file
+    from .native.fastparse import parse_sdf_buffer
+
+    if path.suffixes[-2:] == [".sdf", ".gz"]:
+        import gzip
+
+        mols = parse_sdf_buffer(gzip.decompress(path.read_bytes()))
+    elif path.suffix in (".sdf", ".mol"):
         mols = parse_sdf_file(path)
     elif path.suffix in (".pdb", ".ent"):
         mols = [read_pdb(path)]
+    elif path.suffix == ".xyz":
+        mols = list(iter_xyz(path))
     else:
         raise SystemExit(f"unsupported input type: {path}")
     if not hydrogens:
@@ -60,19 +71,24 @@ def _cmd_voxelize(args) -> int:
     from .viz.dx import write_channels_dx
 
     enable_compilation_cache(".jax_cache")
-    path = Path(args.input)
+    paths = [Path(p) for p in args.input]
+    path = paths[0]
     symbols = [s.strip() for s in args.channels.split(",")]
     spec = GridSpec(resolution=args.resolution, dimension=args.dimension)
 
     # Fast lane: SDF + atom-type channels goes through the vectorized feeder
     # (native parse -> columnar batch assembly, data/feed.py) with no
-    # per-molecule Python.  Bond channels / PDB use the maker path.
-    use_feeder = path.suffix in (".sdf", ".mol") and not args.bonds and args.center == "auto"
+    # per-molecule Python.  Bond channels / PDB / multi-file grid output use
+    # the maker path (each feeder pads its own tail, so multi-file feeder
+    # streams would interleave padding mid-stream in the grid record).
+    use_feeder = (
+        len(paths) == 1 and _is_sdf(path) and not args.bonds and args.center == "auto"
+    )
 
     if args.throughput:
-        if not use_feeder:
+        if not all(_is_sdf(p) for p in paths) or args.bonds or args.center != "auto":
             raise SystemExit("--throughput needs the SDF fast lane (no --bonds, --center auto)")
-        return _run_throughput(args, spec, path, symbols)
+        return _run_throughput(args, spec, paths, symbols)
 
     # --batch default is mode-dependent (64 for grids, 4096 for --throughput);
     # None = unset so an explicit --batch 64 is honored in every mode.
@@ -102,7 +118,7 @@ def _cmd_voxelize(args) -> int:
             presort=args.presort, spec=spec if args.presort else None,
         )
     else:
-        mols = _load_molecules(path, args.hydrogens)
+        mols = [m for p in paths for m in _load_molecules(p, args.hydrogens)]
 
     def batches():
         if feeder is not None:
@@ -246,7 +262,7 @@ def _maybe_dx(args, grid0, channel_names) -> None:
     print(f"wrote {len(paths)} .dx volumes to {args.dx}", file=sys.stderr)
 
 
-def _run_throughput(args, spec, path, symbols) -> int:
+def _run_throughput(args, spec, paths, symbols) -> int:
     """End-to-end stream-from-disk throughput: parse + batch + H2D + voxelize.
 
     The production-shaped pipeline: the vectorized feeder emits COMPACT
@@ -271,18 +287,26 @@ def _run_throughput(args, spec, path, symbols) -> int:
     superbatch = max(batch, chunk) // chunk * chunk
 
     def one_pass(seed):
-        feeder = SDFBatchFeeder(
-            path, symbols,
-            batch_size=superbatch, unknown=args.unknown,
-            keep_hydrogens=args.hydrogens, workers=args.workers, compact=True,
-            presort=args.presort, spec=spec if args.presort else None,
-        )
+        feeders = [
+            SDFBatchFeeder(
+                p, symbols,
+                batch_size=superbatch, unknown=args.unknown,
+                keep_hydrogens=args.hydrogens, workers=args.workers, compact=True,
+                presort=args.presort, spec=spec if args.presort else None,
+            )
+            for p in paths
+        ]
         t0 = time.time()
         # --wire: the feeder's all-native wire path (parse, assemble, presort,
         # quantize all in GIL-releasing C).  No extra prefetch hop here —
         # stream_checksum's staging thread already overlaps assembly with
         # dispatch, and a second hop only adds GIL churn (measured -3%).
-        src = feeder.iter_wire(spec) if args.wire else prefetch_iter(iter(feeder))
+        # Multiple input files chain seamlessly (each pads its own tail).
+        def chained():
+            for f in feeders:
+                yield from (f.iter_wire(spec) if args.wire else iter(f))
+
+        src = chained() if args.wire else prefetch_iter(chained())
         stats, checksum = stream_checksum(
             src, spec,
             chunk=chunk, density_type=args.density, sigma=args.sigma,
@@ -333,7 +357,7 @@ def main(argv=None) -> int:
     sub.add_parser("info", help="environment / backend report")
 
     pv = sub.add_parser("voxelize", help="voxelize molecules from SDF/PDB")
-    pv.add_argument("input", help="input .sdf (multi-record ok) or .pdb")
+    pv.add_argument("input", nargs="+", help="input file(s): .sdf/.sdf.gz (multi-record ok), .pdb, .xyz")
     pv.add_argument("-o", "--output", help="output .npz (grids, channel names)")
     pv.add_argument("--dx", help="directory for per-channel OpenDX volumes (first molecule)")
     pv.add_argument("--dimension", type=int, default=64)

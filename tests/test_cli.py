@@ -1,5 +1,7 @@
 """CLI smoke tests."""
 
+import json
+
 import numpy as np
 
 from molvoxel_tpu.cli import main
@@ -122,3 +124,50 @@ def test_voxelize_npz_limit(tmp_path):
             ["voxelize", str(path), "-o", str(tmp_path / "g.npz"), "--dimension", "16",
              "--channels", "C,N,O,S", "--batch", "2", "--npz-limit", "3"]
         )
+
+
+def test_voxelize_multi_file_throughput(tmp_path, capsys):
+    rec = open(REF_LIGAND).read()
+    if not rec.endswith("\n"):
+        rec += "\n"
+    p1 = tmp_path / "a.sdf"
+    p2 = tmp_path / "b.sdf"
+    p1.write_text(rec * 3)
+    p2.write_text(rec * 4)
+    rc = main(
+        ["voxelize", str(p1), str(p2), "--throughput", "--wire", "--dimension", "16",
+         "--channels", "C,N,O,S", "--batch", "4"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["molecules"] == 7
+
+
+def test_voxelize_gz_and_multi_file_grids(tmp_path, capsys):
+    import gzip
+
+    rec = open(REF_LIGAND).read()
+    if not rec.endswith("\n"):
+        rec += "\n"
+    pgz = tmp_path / "a.sdf.gz"
+    pgz.write_bytes(gzip.compress((rec * 2).encode()))
+    p2 = tmp_path / "b.sdf"
+    p2.write_text(rec * 3)
+    # multi-file grids run through the maker path; .sdf.gz parses natively
+    rc = main(
+        ["voxelize", str(pgz), str(p2), "--dimension", "16",
+         "--channels", "C,N,O,S", "--batch", "2"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["molecules"] == 5 and out["shape"][0] == 5
+
+
+def test_voxelize_xyz_input(tmp_path, capsys):
+    (tmp_path / "m.xyz").write_text("3\nwater-ish\nO 0.0 0.0 0.0\nC 1.2 0.0 0.0\nN 0.0 1.2 0.0\n")
+    rc = main(
+        ["voxelize", str(tmp_path / "m.xyz"), "--dimension", "16", "--channels", "C,N,O"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["molecules"] == 1 and out["shape"] == [1, 3, 16, 16, 16]
