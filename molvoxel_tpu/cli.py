@@ -57,6 +57,10 @@ def _load_molecules(path: Path, hydrogens: bool):
         mols = [read_pdb(path)]
     elif path.suffix == ".xyz":
         mols = list(iter_xyz(path))
+    elif path.suffix == ".mol2":
+        from .data.parsers import iter_mol2
+
+        mols = list(iter_mol2(path))
     else:
         raise SystemExit(f"unsupported input type: {path}")
     if not hydrogens:
@@ -357,7 +361,7 @@ def main(argv=None) -> int:
     sub.add_parser("info", help="environment / backend report")
 
     pv = sub.add_parser("voxelize", help="voxelize molecules from SDF/PDB")
-    pv.add_argument("input", nargs="+", help="input file(s): .sdf/.sdf.gz (multi-record ok), .pdb, .xyz")
+    pv.add_argument("input", nargs="+", help="input file(s): .sdf/.sdf.gz (multi-record ok), .pdb, .xyz, .mol2")
     pv.add_argument("-o", "--output", help="output .npz (grids, channel names)")
     pv.add_argument("--dx", help="directory for per-channel OpenDX volumes (first molecule)")
     pv.add_argument("--dimension", type=int, default=64)

@@ -241,8 +241,68 @@ def write_xyz(mol: SimpleMolecule, path: str | Path) -> None:
         fh.write("\n".join(lines) + "\n")
 
 
+MOL2_BOND_TYPES = {"1": "SINGLE", "2": "DOUBLE", "3": "TRIPLE", "ar": "AROMATIC",
+                   "am": "SINGLE", "du": "SINGLE", "un": "SINGLE", "nc": "SINGLE"}
+
+
+def iter_mol2(path: str | Path) -> Iterator[SimpleMolecule]:
+    """Iterate a (possibly multi-record) Tripos MOL2 file.
+
+    The docking ecosystem's format (AutoDock/DOCK/Sybyl).  Element symbols
+    come from the SYBYL atom type's element part (``C.3`` -> ``C``,
+    ``N.ar`` -> ``N``); aromatic/amide/dummy bond types map onto the SDF
+    bond-type vocabulary the channel getters use.  The reference reads mol2
+    only through RDKit (etc/rdkit/wrapper.py); this parser needs no
+    dependency.
+    """
+    with _open_text(path) as fh:
+        lines = fh.read().splitlines()
+    i, n = 0, len(lines)
+    while i < n:
+        if lines[i].strip() != "@<TRIPOS>MOLECULE":
+            i += 1
+            continue
+        name = lines[i + 1].strip() if i + 1 < n else ""
+        counts = lines[i + 2].split() if i + 2 < n else ["0"]
+        na = int(counts[0])
+        nb = int(counts[1]) if len(counts) > 1 else 0
+        i += 3
+        # find the atom section of this record
+        while i < n and lines[i].strip() != "@<TRIPOS>ATOM":
+            if lines[i].strip() == "@<TRIPOS>MOLECULE":
+                break
+            i += 1
+        if i >= n or lines[i].strip() != "@<TRIPOS>ATOM":
+            continue
+        i += 1
+        coords = np.empty((na, 3), np.float64)
+        symbols = []
+        for j in range(na):
+            t = lines[i + j].split()
+            coords[j] = (float(t[2]), float(t[3]), float(t[4]))
+            symbols.append(t[5].split(".")[0])
+        i += na
+        bonds: list[tuple[int, int, str]] = []
+        while i < n and lines[i].strip() != "@<TRIPOS>BOND":
+            if lines[i].strip() == "@<TRIPOS>MOLECULE":
+                break
+            i += 1
+        if i < n and lines[i].strip() == "@<TRIPOS>BOND":
+            i += 1
+            for j in range(nb):
+                t = lines[i + j].split()
+                bonds.append((int(t[1]) - 1, int(t[2]) - 1, MOL2_BOND_TYPES.get(t[3], "SINGLE")))
+            i += nb
+        yield SimpleMolecule(coords=coords, symbols=symbols, bonds=bonds, name=name)
+
+
+def read_mol2(path: str | Path) -> SimpleMolecule:
+    """Read the first molecule of a Tripos MOL2 file."""
+    return next(iter_mol2(path))
+
+
 def read_molecule(path: str | Path, **kwargs) -> SimpleMolecule:
-    """Dispatch by file extension (.sdf/.mol -> SDF, .pdb -> PDB, .xyz)."""
+    """Dispatch by file extension (.sdf/.mol -> SDF, .pdb -> PDB, .xyz, .mol2)."""
     suffixes = Path(path).suffixes
     ext = suffixes[-2] if suffixes and suffixes[-1] == ".gz" and len(suffixes) > 1 else Path(path).suffix
     if ext in (".sdf", ".mol"):
@@ -251,4 +311,6 @@ def read_molecule(path: str | Path, **kwargs) -> SimpleMolecule:
         return read_pdb(path, **kwargs)
     if ext == ".xyz":
         return read_xyz(path)
+    if ext == ".mol2":
+        return read_mol2(path)
     raise ValueError(f"unsupported molecular file type: {path}")

@@ -421,3 +421,52 @@ class TestXYZ:
         vox = create_voxelizer(resolution=0.5, dimension=16)
         img = MolWrapper(maker, vox).run(read_xyz(p), center=mol.coords.mean(0), radii=1.0)
         assert img.shape == (3, 16, 16, 16) and float(np.abs(img).sum()) > 0
+
+
+class TestMol2:
+    """Tripos MOL2 parsing (docking-ecosystem format)."""
+
+    MOL2 = """@<TRIPOS>MOLECULE
+benzene-ish
+ 4 3 0 0 0
+SMALL
+NO_CHARGES
+@<TRIPOS>ATOM
+      1 C1    0.0000  0.0000  0.0000 C.ar  1 LIG1  0.0
+      2 C2    1.4000  0.0000  0.0000 C.ar  1 LIG1  0.0
+      3 N1    2.1000  1.2000  0.0000 N.3   1 LIG1 -0.3
+      4 H1    0.5000  0.9000  0.0000 H     1 LIG1  0.1
+@<TRIPOS>BOND
+     1    1    2 ar
+     2    2    3 1
+     3    1    4 1
+"""
+
+    def test_parse_and_channels(self, tmp_path):
+        from molvoxel_tpu.data import read_mol2, read_molecule
+
+        p = tmp_path / "lig.mol2"
+        p.write_text(self.MOL2)
+        mol = read_mol2(p)
+        assert mol.symbols == ["C", "C", "N", "H"] and mol.name == "benzene-ish"
+        assert mol.bonds == [(0, 1, "AROMATIC"), (1, 2, "SINGLE"), (0, 3, "SINGLE")]
+        np.testing.assert_allclose(mol.coords[1], [1.4, 0.0, 0.0])
+        noh = mol.without_hydrogens()
+        assert noh.num_atoms == 3 and len(noh.bonds) == 2
+        assert read_molecule(p).num_atoms == 4
+
+    def test_multirecord_and_wrapper(self, tmp_path):
+        from molvoxel_tpu import create_voxelizer
+        from molvoxel_tpu.data import (AtomTypeGetter, BondTypeGetter,
+                                       MolPointCloudMaker, MolWrapper, iter_mol2)
+
+        p = tmp_path / "two.mol2"
+        p.write_text(self.MOL2 + self.MOL2)
+        mols = list(iter_mol2(p))
+        assert len(mols) == 2
+        maker = MolPointCloudMaker(AtomTypeGetter(["C", "N"]), BondTypeGetter.default(),
+                                   channel_type="features")
+        vox = create_voxelizer(resolution=0.5, dimension=16)
+        img = MolWrapper(maker, vox).run(mols[0].without_hydrogens(),
+                                         center=mols[0].coords.mean(0), radii=1.0)
+        assert img.shape == (6, 16, 16, 16) and float(np.abs(img).sum()) > 0
