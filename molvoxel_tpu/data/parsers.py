@@ -83,8 +83,44 @@ def iter_sdf(path: str | Path) -> Iterator[SimpleMolecule]:
     yield from iter_sdf_lines(lines)
 
 
+def _parse_v3000(lines: list[str], start: int, name: str) -> tuple[SimpleMolecule, int]:
+    """Parse one V3000 record body (the >999-atom SDF extension).
+
+    Lines are ``M  V30 ...`` continuation records: COUNTS, BEGIN/END ATOM
+    (idx element x y z), BEGIN/END BOND (idx order a1 a2).  Atom indices may
+    be arbitrary, so bonds remap through an index table.  Returns the
+    molecule and the line position after its terminator.
+    """
+    pos = start
+    n = len(lines)
+    coords_l: list[tuple[float, float, float]] = []
+    symbols: list[str] = []
+    idx_map: dict[int, int] = {}
+    bonds: list[tuple[int, int, str]] = []
+    section = None
+    while pos < n and lines[pos].strip() != "$$$$":
+        t = lines[pos].split()
+        if len(t) >= 3 and t[0] == "M" and t[1] == "V30":
+            if t[2] == "BEGIN" and len(t) > 3:
+                section = t[3]
+            elif t[2] == "END" and len(t) > 3:
+                section = None
+            elif section == "ATOM" and len(t) >= 7:
+                idx_map[int(t[2])] = len(symbols)
+                symbols.append(t[3])
+                coords_l.append((float(t[4]), float(t[5]), float(t[6])))
+            elif section == "BOND" and len(t) >= 6:
+                order = int(t[3])
+                bonds.append(
+                    (idx_map[int(t[4])], idx_map[int(t[5])], SDF_BOND_TYPES.get(order, "SINGLE"))
+                )
+        pos += 1
+    coords = np.asarray(coords_l, np.float64).reshape(len(symbols), 3)
+    return SimpleMolecule(coords=coords, symbols=symbols, bonds=bonds, name=name), pos + 1
+
+
 def iter_sdf_lines(lines: list[str]) -> Iterator[SimpleMolecule]:
-    """Iterate molecules over already-split SDF text lines (V2000)."""
+    """Iterate molecules over already-split SDF text lines (V2000 or V3000)."""
     start = 0
     n = len(lines)
     while start < n:
@@ -97,6 +133,10 @@ def iter_sdf_lines(lines: list[str]) -> Iterator[SimpleMolecule]:
             return
         name = lines[start].strip()
         counts = lines[start + 3]
+        if "V3000" in counts:
+            mol, start = _parse_v3000(lines, start + 4, name)
+            yield mol
+            continue
         try:
             num_atoms = int(counts[0:3])
             num_bonds = int(counts[3:6])

@@ -131,9 +131,11 @@ class FlatMolecules:
 
 
 def parse_sdf_flat(buf: bytes) -> FlatMolecules | None:
-    """Native one-pass parse to flat arrays; None when the native lib is absent."""
+    """Native one-pass parse to flat arrays; None when the native lib is absent
+    or the buffer contains V3000 records (the C scanner is V2000-only — a
+    V3000 counts line reads as 0 atoms; the python parser handles V3000)."""
     lib = _load()
-    if lib is None:
+    if lib is None or b"V3000" in buf:
         return None
     n_mols = ctypes.c_int64()
     n_atoms = ctypes.c_int64()
