@@ -284,6 +284,15 @@ def _run_throughput(args, spec, paths, symbols) -> int:
     from .data.feed import SDFBatchFeeder, prefetch_iter
     from .parallel.stream import stream_checksum
 
+    nch = len(symbols) + (1 if args.unknown else 0)
+    rbt = None
+    if args.radii_by_type:
+        rbt = tuple(float(x) for x in args.radii_by_type.split(","))
+        if len(rbt) != nch:
+            raise SystemExit(
+                f"--radii-by-type needs {nch} values (one per channel incl. Unknown), got {len(rbt)}"
+            )
+
     # mode-dependent default: measured sweep on-chip says superbatch 4096
     # (13 overlap units on 50k mols) > 8192 > 16384; an explicit --batch wins
     batch = args.batch if args.batch is not None else 4096
@@ -314,7 +323,8 @@ def _run_throughput(args, spec, paths, symbols) -> int:
         stats, checksum = stream_checksum(
             src, spec,
             chunk=chunk, density_type=args.density, sigma=args.sigma,
-            radii=args.radii, random_translation=args.random_translation,
+            radii=args.radii, radii_by_type=rbt,
+            random_translation=args.random_translation,
             random_rotation=args.random_rotation, out_dtype=args.out_dtype,
             seed=seed, presorted=args.presort, wire=args.wire,
         )
@@ -369,6 +379,10 @@ def main(argv=None) -> int:
     pv.add_argument("--density", default="gaussian", choices=["gaussian", "binary", "gaussian_notrunc"])
     pv.add_argument("--sigma", type=float, default=0.5)
     pv.add_argument("--radii", type=float, default=1.0)
+    pv.add_argument("--radii-by-type", default=None, metavar="R1,R2,...",
+                    help="per-channel radii for --throughput (one per channel incl. "
+                    "Unknown); gathered in-graph from the type lane, zero extra "
+                    "wire bytes")
     pv.add_argument("--channels", default="C,N,O,S", help="comma-separated element channels")
     pv.add_argument("--unknown", action="store_true", help="add a catch-all Unknown channel")
     pv.add_argument("--bonds", action="store_true", help="add bond-midpoint channels")

@@ -217,8 +217,8 @@ class StreamingVoxelizer:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "chunk", "num_channels", "radii_value", "random_translation", "spec",
-        "density_type", "sigma", "random_rotation", "out_dtype", "impl", "presorted",
+        "chunk", "num_channels", "radii_value", "radii_by_type", "random_translation",
+        "spec", "density_type", "sigma", "random_rotation", "out_dtype", "impl", "presorted",
     ),
 )
 def _fused_scan_step(
@@ -239,6 +239,7 @@ def _fused_scan_step(
     out_dtype: str,
     impl: str = "auto",
     presorted: bool = False,
+    radii_by_type: tuple | None = None,
 ):
     """One dispatch for a whole superbatch: scan chunks, return ONE checksum.
 
@@ -257,7 +258,7 @@ def _fused_scan_step(
         chunk=chunk, num_channels=num_channels, radii_value=radii_value,
         random_translation=random_translation, spec=spec, density_type=density_type,
         sigma=sigma, random_rotation=random_rotation, out_dtype=out_dtype,
-        impl=impl, presorted=presorted,
+        impl=impl, presorted=presorted, radii_by_type=radii_by_type,
     )
 
 
@@ -265,6 +266,7 @@ def _scan_chunks(
     coords, types, centers, key, step, *,
     chunk, num_channels, radii_value, random_translation, spec,
     density_type, sigma, random_rotation, out_dtype, impl, presorted,
+    radii_by_type=None,
 ):
     b, vp = types.shape
     k = b // chunk
@@ -272,6 +274,10 @@ def _scan_chunks(
     types = types.reshape(k, chunk, vp)
     centers = None if centers is None else centers.reshape(k, chunk, 3)
     radii = jnp.full((vp,), radii_value, jnp.float32)
+    # per-element radii ride the type lane for free: gathered in-graph from a
+    # static (C,) table, so the wire format needs no extra bytes (the
+    # reference's channel-wise-radii types path, numpy/voxelizer.py:284-286)
+    rtab = None if radii_by_type is None else jnp.asarray(radii_by_type, jnp.float32)
     base = jax.random.fold_in(key, step)
 
     def body(acc, xs):
@@ -281,10 +287,15 @@ def _scan_chunks(
         mask = t >= 0
         w = jax.nn.one_hot(jnp.maximum(t, 0).astype(jnp.int32), num_channels, dtype=jnp.float32)
         w = w * mask[..., None].astype(jnp.float32)
+        r = radii
+        batched = False
+        if rtab is not None:
+            r = jnp.where(mask, jnp.take(rtab, jnp.maximum(t, 0).astype(jnp.int32)), 1.0)
+            batched = True
         out = voxelize_batch(
-            crd, w, radii, mask, ce, keys, random_translation,
+            crd, w, r, mask, ce, keys, random_translation,
             spec=spec, density_type=density_type, sigma=sigma,
-            random_rotation=random_rotation, impl=impl,
+            random_rotation=random_rotation, impl=impl, radii_batched=batched,
             materialize=True, out_dtype=out_dtype, presorted=presorted,
         )
         return acc + jnp.sum(out.astype(jnp.float32)), None
@@ -297,8 +308,8 @@ def _scan_chunks(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "chunk", "num_channels", "radii_value", "random_translation", "spec",
-        "density_type", "sigma", "random_rotation", "out_dtype", "impl",
+        "chunk", "num_channels", "radii_value", "radii_by_type", "random_translation",
+        "spec", "density_type", "sigma", "random_rotation", "out_dtype", "impl",
         "presorted", "inv_scale",
     ),
 )
@@ -319,6 +330,7 @@ def _fused_scan_step_wire(
     impl: str = "auto",
     presorted: bool = False,
     inv_scale: float = 1.0 / 1024.0,
+    radii_by_type: tuple | None = None,
 ):
     """Wire-format superbatch step: ONE int16 array on the wire.
 
@@ -337,7 +349,7 @@ def _fused_scan_step_wire(
         chunk=chunk, num_channels=num_channels, radii_value=radii_value,
         random_translation=random_translation, spec=spec, density_type=density_type,
         sigma=sigma, random_rotation=random_rotation, out_dtype=out_dtype,
-        impl=impl, presorted=presorted,
+        impl=impl, presorted=presorted, radii_by_type=radii_by_type,
     )
 
 
@@ -349,6 +361,7 @@ def stream_checksum(
     density_type: str = "gaussian",
     sigma: float = 0.5,
     radii: float = 1.0,
+    radii_by_type=None,
     random_translation: float = 0.0,
     random_rotation: bool = False,
     out_dtype: str = "float32",
@@ -414,6 +427,7 @@ def stream_checksum(
                     density_type=density_type, sigma=sigma,
                     random_rotation=random_rotation, out_dtype=out_dtype,
                     impl=impl, presorted=presorted, inv_scale=1.0 / scale,
+                    radii_by_type=None if radii_by_type is None else tuple(radii_by_type),
                 )
             )
             stats.batches += 1
@@ -448,6 +462,7 @@ def stream_checksum(
                 out_dtype=out_dtype,
                 impl=impl,
                 presorted=presorted,
+                radii_by_type=None if radii_by_type is None else tuple(radii_by_type),
             )
         )
         stats.batches += 1

@@ -79,3 +79,48 @@ def test_stream_sharded_mesh(rng):
     stats = sv.run(clouds, lambda images, batch: got.append(np.asarray(images)))
     assert stats.molecules == 16
     assert got[0].shape == (8, 3, 16, 16, 16)
+
+
+def test_stream_checksum_radii_by_type(tmp_path):
+    """Per-type radii in the fused step == per-atom radii through the batch
+    path (gathered in-graph from the type lane, zero extra wire bytes)."""
+    import jax
+
+    from molvoxel_tpu.core.config import GridSpec
+    from molvoxel_tpu.data.feed import SDFBatchFeeder
+    from molvoxel_tpu.ops.batch import voxelize_batch
+    from molvoxel_tpu.parallel.stream import stream_checksum
+
+    rec = open("/root/reference/test/10gs/10gs_ligand.sdf", "rb").read()
+    path = tmp_path / "lib.sdf"
+    path.write_bytes(rec * 4)
+    spec = GridSpec(resolution=0.5, dimension=16)
+    rbt = (0.9, 1.2, 1.4, 1.7)
+
+    batches = list(SDFBatchFeeder(path, ["C", "N", "O", "S"], batch_size=4, compact=True))
+    _, cs = stream_checksum(iter(batches), spec, chunk=2, radii_by_type=rbt)
+    _, cs_wire = stream_checksum(iter(batches), spec, chunk=2, radii_by_type=rbt, wire=True)
+
+    (b,) = batches
+    t = b.types
+    mask = t >= 0
+    w = np.eye(4, dtype=np.float32)[np.maximum(t, 0)] * mask[..., None]
+    r = np.where(mask, np.asarray(rbt, np.float32)[np.maximum(t, 0)], 1.0)
+    keys = jax.random.split(jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(0), 0), 0), 2)
+    want = 0.0
+    for ci in range(2):
+        sl = slice(ci * 2, (ci + 1) * 2)
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(0), 0), ci), 2
+        )
+        out = voxelize_batch(
+            np.asarray(b.coords[sl]), np.asarray(w[sl]), np.asarray(r[sl]),
+            np.asarray(mask[sl]), np.asarray(b.centers[sl]), keys, 0.0,
+            spec=spec, density_type="gaussian", sigma=0.5, radii_batched=True,
+        )
+        want += float(np.asarray(out, np.float64).sum())
+    assert abs(cs - want) < 1e-2 * max(abs(want), 1.0)
+    assert abs(cs_wire - want) < 1e-2 * max(abs(want), 1.0)
+    # and it differs from the scalar-radii checksum (the radii actually bite)
+    _, cs_scalar = stream_checksum(iter(batches), spec, chunk=2)
+    assert abs(cs - cs_scalar) > 1e-3 * max(abs(cs), 1.0)
