@@ -11,7 +11,6 @@ equivalent state lives in frozen dataclasses that are safe to close over in
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 
@@ -174,12 +173,3 @@ def grid_flat_padding(spec: GridSpec, lane: int = 128) -> tuple[int, int]:
     return hw, round_up(hw, lane)
 
 
-def suggested_atom_chunk(num_atoms_padded: int, plane_padded: int, vmem_budget_bytes: int = 8 * 2**20) -> int:
-    """Atom-chunk size A so that the (A, plane) f32 working set fits the VMEM budget."""
-    a = vmem_budget_bytes // max(plane_padded * 4, 1)
-    a = max(128, min(num_atoms_padded, (a // 128) * 128))
-    return a
-
-
-def num_atom_chunks(num_atoms_padded: int, chunk: int) -> int:
-    return math.ceil(num_atoms_padded / chunk)
