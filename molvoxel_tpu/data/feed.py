@@ -638,6 +638,11 @@ class SDFBatchFeeder:
         assemble/center/presort/quantize in one C pass (assemble_wire) —
         the Python driver only hands buffers around, so the feed fully
         overlaps the dispatch thread (both C calls release the GIL)."""
+        if self.radii_by_type is not None:
+            raise ValueError(
+                "iter_wire carries types, not per-atom radii; pass radii_by_type= to "
+                "stream_checksum / the fused step instead (gathered in-graph)"
+            )
         if scale is None:
             scale = wire_scale(spec)
         carry = concat_flat_clouds([])

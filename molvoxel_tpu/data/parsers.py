@@ -189,18 +189,38 @@ def _pdb_element(line: str) -> str:
 
 def read_pdb(path: str | Path, *, include_hetatm: bool = True) -> SimpleMolecule:
     """Read coordinates + elements from a PDB file (first MODEL)."""
+    return next(iter_pdb_models(path, include_hetatm=include_hetatm))
+
+
+def iter_pdb_models(path: str | Path, *, include_hetatm: bool = True) -> Iterator[SimpleMolecule]:
+    """Iterate every MODEL of a PDB file (NMR ensembles, MD snapshots).
+
+    Single-model files yield exactly one molecule; MODEL/ENDMDL records
+    delimit members otherwise (names get a ``/model-N`` suffix).  Ensemble
+    members voxelize as a batch — structural uncertainty becomes grid-level
+    augmentation the reference workflow has no equivalent for."""
     coords: list[tuple[float, float, float]] = []
     symbols: list[str] = []
     name = Path(path).stem
+    model = 0
     with _open_text(path) as fh:
         for line in fh:
             rec = line[:6]
             if rec == "ENDMDL":
-                break
-            if rec == "ATOM  " or (include_hetatm and rec == "HETATM"):
+                model += 1
+                yield SimpleMolecule(
+                    coords=np.asarray(coords, dtype=np.float64), symbols=symbols,
+                    bonds=[], name=f"{name}/model-{model}",
+                )
+                coords, symbols = [], []
+            elif rec == "ATOM  " or (include_hetatm and rec == "HETATM"):
                 coords.append((float(line[30:38]), float(line[38:46]), float(line[46:54])))
                 symbols.append(_pdb_element(line))
-    return SimpleMolecule(coords=np.asarray(coords, dtype=np.float64), symbols=symbols, bonds=[], name=name)
+    if coords or model == 0:
+        yield SimpleMolecule(
+            coords=np.asarray(coords, dtype=np.float64).reshape(len(symbols), 3),
+            symbols=symbols, bonds=[], name=name,
+        )
 
 
 _SDF_BOND_ORDERS = {"SINGLE": 1, "DOUBLE": 2, "TRIPLE": 3, "AROMATIC": 4}

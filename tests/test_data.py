@@ -525,3 +525,36 @@ $$$$
         (batch,) = list(feeder)
         assert feeder.records_fed == 3
         assert sorted(batch.num_atoms.tolist(), reverse=True) == [33, 33, 3]  # H-stripped ligands + V3000 mol
+
+
+class TestPDBModels:
+    """Multi-MODEL PDB iteration (NMR ensembles / MD snapshots)."""
+
+    def test_single_model_unchanged(self):
+        from molvoxel_tpu.data import iter_pdb_models, read_pdb
+
+        mols = list(iter_pdb_models(REF_POCKET))
+        assert len(mols) == 1
+        ref = read_pdb(REF_POCKET)
+        assert mols[0].num_atoms == ref.num_atoms == 500
+
+    def test_nmr_ensemble(self, tmp_path):
+        from molvoxel_tpu.data import iter_pdb_models
+
+        body = (
+            "MODEL        1\n"
+            "ATOM      1  N   ALA A   1      10.000  10.000  10.000  1.00  0.00           N\n"
+            "ATOM      2  CA  ALA A   1      11.000  10.000  10.000  1.00  0.00           C\n"
+            "ENDMDL\n"
+            "MODEL        2\n"
+            "ATOM      1  N   ALA A   1      10.100  10.000  10.000  1.00  0.00           N\n"
+            "ATOM      2  CA  ALA A   1      11.100  10.000  10.000  1.00  0.00           C\n"
+            "ENDMDL\n"
+            "END\n"
+        )
+        p = tmp_path / "ens.pdb"
+        p.write_text(body)
+        mols = list(iter_pdb_models(p))
+        assert len(mols) == 2
+        assert mols[0].symbols == ["N", "C"] and mols[1].name.endswith("model-2")
+        np.testing.assert_allclose(mols[1].coords[0, 0] - mols[0].coords[0, 0], 0.1, atol=1e-6)
