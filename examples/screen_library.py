@@ -50,14 +50,14 @@ def make_library(query: SimpleMolecule, path: Path, rng, n_decoys=30):
     return [m.name for m in records]
 
 
-def main():
-    spec = GridSpec(resolution=0.5, dimension=DIM)
+def main(n_decoys: int = 30, dim: int = DIM):
+    spec = GridSpec(resolution=0.5, dimension=dim)
     query = read_sdf("/root/reference/test/10gs/10gs_ligand.sdf").without_hydrogens()
     query = SimpleMolecule(coords=query.coords - query.coords.mean(0),
                            symbols=query.symbols, bonds=[], name="query")
     rng = np.random.default_rng(0)
     lib_path = Path(tempfile.mkdtemp()) / "library.sdf"
-    names = make_library(query, lib_path, rng)
+    names = make_library(query, lib_path, rng, n_decoys=n_decoys)
 
     @jax.jit
     def grid_of(coords, weights, mask, keys):
