@@ -154,6 +154,14 @@ class VoxelGridDataset(_IterableDataset):
         self.feeder_kwargs = dict(feeder_kwargs or {})
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Set the epoch for shuffle order + augmentation RNG.
+
+        Required with ``DataLoader(num_workers>0)`` (call before each epoch,
+        like ``DistributedSampler.set_epoch``); single-process iteration
+        advances the epoch automatically."""
+        self._epoch = int(epoch)
+
     def _feeder(self, worker_id: int = 0, num_workers: int = 1, epoch: int = 0):
         from .data.feed import SDFBatchFeeder
 
@@ -176,7 +184,13 @@ class VoxelGridDataset(_IterableDataset):
         worker_id = info.id if info is not None else 0
         num_workers = info.num_workers if info is not None else 1
         epoch = self._epoch
-        self._epoch += 1  # advances per pass (in each worker copy identically)
+        if info is None:
+            # single-process: each pass is a new epoch automatically.  With
+            # num_workers>0 the parent never runs __iter__, so worker copies
+            # would restart at the pickled epoch every time — call
+            # ``ds.set_epoch(e)`` in the training loop instead (the
+            # DistributedSampler convention).
+            self._epoch += 1
 
         sv = StreamingVoxelizer(
             self.spec,

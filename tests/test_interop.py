@@ -151,3 +151,22 @@ def test_dataset_shuffle_reorders_per_epoch(sdf10):
     )
     for _ in range(2):  # two epochs, both complete
         assert sum(int((n > 0).sum()) for _, n in ds) == 10
+
+
+def test_dataset_set_epoch_changes_shuffle(sdf10):
+    """set_epoch (the num_workers>0 contract) drives the shard permutation."""
+    from molvoxel_tpu.core.config import GridSpec
+
+    ds = VoxelGridDataset(
+        sdf10, ["C", "N", "O", "S"], GridSpec(0.5, 16),
+        batch_size=2, unknown=True, shuffle=True, seed=11,
+        feeder_kwargs={"shards": 5},
+    )
+    ds.set_epoch(0)
+    f0 = ds._feeder(0, 1, ds._epoch)
+    ds.set_epoch(3)
+    f3 = ds._feeder(0, 1, ds._epoch)
+    assert f0.shuffle_seed != f3.shuffle_seed
+    # both epochs still cover every molecule
+    ds.set_epoch(5)
+    assert sum(int((n > 0).sum()) for _, n in ds) == 10
