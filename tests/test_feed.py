@@ -556,3 +556,28 @@ def test_feeder_reads_gzipped_sdf(tmp_path):
     (batch,) = list(feeder)
     assert feeder.molecules_fed == 5
     assert int((batch.num_atoms > 0).sum()) == 5
+
+
+def test_iter_wire_mixed_sizes_matches_batch_path(tmp_path):
+    """Ligand records mixed with ~500-atom pocket records: per-chunk atom
+    buckets grow mid-stream and the wire path still matches the PaddedBatch
+    path's checksum (each superbatch sizes its own Vp)."""
+    from molvoxel_tpu.core.config import GridSpec
+    from molvoxel_tpu.data.parsers import read_pdb, write_sdf
+    from molvoxel_tpu.parallel.stream import stream_checksum
+
+    lig = open(LIGAND, "rb").read()
+    pocket = read_pdb("/root/reference/test/10gs/10gs_pocket_nowater.pdb").without_hydrogens()
+    psdf = tmp_path / "p.sdf"
+    write_sdf(pocket, psdf)
+    mixed = tmp_path / "mixed.sdf"
+    mixed.write_bytes(lig * 3 + psdf.read_bytes() + lig * 2 + psdf.read_bytes())
+    spec = GridSpec(resolution=0.5, dimension=16)
+
+    kw = dict(batch_size=2, compact=True, shards=3)
+    batches = list(SDFBatchFeeder(mixed, SYMBOLS, **kw))
+    stats_b, cs_b = stream_checksum(iter(batches), spec, chunk=2, wire=True)
+    feeder = SDFBatchFeeder(mixed, SYMBOLS, **kw)
+    stats_w, cs_w = stream_checksum(feeder.iter_wire(spec), spec, chunk=2, wire=True)
+    assert stats_b.molecules == stats_w.molecules == 7
+    assert cs_b == cs_w
