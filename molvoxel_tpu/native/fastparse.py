@@ -78,12 +78,19 @@ def wire_assemble_native(coords, types, counts, vp, scale, presort, cell_lb, cel
     if lib is None:
         return None
     m = len(counts)
+    counts = np.ascontiguousarray(counts, np.int64)
+    # bounds the C pass relies on: every molecule fits its Vp row and the
+    # flat coord/type columns cover the claimed atom totals
+    if m and int(counts.max(initial=0)) > vp:
+        raise ValueError(f"molecule with {int(counts.max())} atoms exceeds bucket {vp}")
+    if int(counts.sum()) > len(coords):
+        raise ValueError("counts claim more atoms than the coords column holds")
     wire = np.empty((m, vp, 4), np.int16)
     num_atoms = np.empty((m,), np.int32)
     got = lib.wire_assemble(
         np.ascontiguousarray(coords, np.float32),
         np.ascontiguousarray(types, np.int32),
-        np.ascontiguousarray(counts, np.int64),
+        counts,
         m, vp, float(scale), int(bool(presort)),
         float(cell_lb), float(cell_scale), int(cells),
         wire, num_atoms,

@@ -581,3 +581,16 @@ def test_iter_wire_mixed_sizes_matches_batch_path(tmp_path):
     stats_w, cs_w = stream_checksum(feeder.iter_wire(spec), spec, chunk=2, wire=True)
     assert stats_b.molecules == stats_w.molecules == 7
     assert cs_b == cs_w
+
+
+def test_wire_assemble_native_bounds():
+    from molvoxel_tpu.native.fastparse import NATIVE_AVAILABLE, wire_assemble_native
+
+    if not NATIVE_AVAILABLE:
+        pytest.skip("native lib unavailable")
+    coords = np.zeros((10, 3), np.float32)
+    types = np.zeros((10,), np.int32)
+    with pytest.raises(ValueError, match="exceeds bucket"):
+        wire_assemble_native(coords, types, np.array([10], np.int64), 8, 1024.0, 0, -16.0, 1.0)
+    with pytest.raises(ValueError, match="more atoms"):
+        wire_assemble_native(coords, types, np.array([8, 8], np.int64), 16, 1024.0, 0, -16.0, 1.0)
