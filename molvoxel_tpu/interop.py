@@ -33,12 +33,20 @@ try:
 
     TORCH_AVAILABLE = True
     _IterableDataset = torch.utils.data.IterableDataset
+    _Dataset = torch.utils.data.Dataset
 except ImportError:  # pragma: no cover
     torch = None
     TORCH_AVAILABLE = False
     _IterableDataset = object
+    _Dataset = object
 
-__all__ = ["TORCH_AVAILABLE", "to_torch", "from_torch", "VoxelGridDataset"]
+__all__ = [
+    "TORCH_AVAILABLE",
+    "to_torch",
+    "from_torch",
+    "VoxelGridDataset",
+    "GridStoreDataset",
+]
 
 
 def _require_torch():
@@ -223,3 +231,32 @@ class VoxelGridDataset(_IterableDataset):
 
     def _emit(self, images, batch):
         return to_torch(images), torch.from_numpy(batch.num_atoms.astype(np.int64))
+
+
+class GridStoreDataset(_Dataset):
+    """Map-style torch Dataset over a precomputed grid store.
+
+    The precompute-then-train workflow (the reference's primary pattern,
+    with ``voxelize -o store/`` as the precompute step): random access into
+    mmap'd shards, so a shuffling DataLoader works out of the box and only
+    the touched grids page in.
+
+    Each item is ``(grid, num_atoms)``; bf16 shards cross as bit-views.
+    """
+
+    def __init__(self, root):
+        _require_torch()
+        from .data.gridstore import GridShardReader
+
+        self.reader = GridShardReader(root)
+        self._num_atoms = self.reader.num_atoms()
+
+    def __len__(self) -> int:
+        return len(self.reader)
+
+    def __getitem__(self, i: int):
+        return to_torch(self.reader[i]), int(self._num_atoms[i])
+
+    @property
+    def channels(self):
+        return self.reader.channels

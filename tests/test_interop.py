@@ -170,3 +170,27 @@ def test_dataset_set_epoch_changes_shuffle(sdf10):
     # both epochs still cover every molecule
     ds.set_epoch(5)
     assert sum(int((n > 0).sum()) for _, n in ds) == 10
+
+
+def test_grid_store_dataset(tmp_path, sdf10):
+    """Map-style dataset over a precomputed store: DataLoader shuffling works."""
+    from torch.utils.data import DataLoader
+
+    from molvoxel_tpu.cli import main as cli_main
+    from molvoxel_tpu.interop import GridStoreDataset
+
+    store = tmp_path / "store"
+    rc = cli_main([
+        "voxelize", sdf10, "-o", str(store), "--dimension", "16",
+        "--channels", "C,N,O,S", "--batch", "4", "--out-dtype", "bfloat16",
+    ])
+    assert rc == 0
+    ds = GridStoreDataset(store)
+    assert len(ds) == 10 and ds.channels == ["C", "N", "O", "S"]
+    g, n = ds[3]
+    assert g.dtype == torch.bfloat16 and g.shape == (4, 16, 16, 16) and n > 0
+    seen = 0
+    for grids, counts in DataLoader(ds, batch_size=4, shuffle=True):
+        assert grids.shape[1:] == (4, 16, 16, 16)
+        seen += grids.shape[0]
+    assert seen == 10
