@@ -64,7 +64,7 @@ class VoxelCNN(nn.Module):
         return nn.Dense(1)(x)[:, 0]
 
 
-def main():
+def main(steps: int = 60):
     rng = np.random.default_rng(0)
     coords, weights, mask, labels = make_dataset(rng)
     radii = jnp.ones((VP,), jnp.float32)
@@ -96,7 +96,7 @@ def main():
     key = jax.random.PRNGKey(42)
     n = coords.shape[0]
     losses = []
-    for step in range(60):
+    for step in range(steps):
         key, sub, ksel = jax.random.split(key, 3)
         idx = jax.random.choice(ksel, n, (BATCH,), replace=False)
         params, opt_state, loss = train_step(params, opt_state, sub, idx)

@@ -20,3 +20,11 @@ def test_pose_optimize_small():
 
     r0, r1 = pose_optimize.main(steps=120, dim=24)
     assert r1 < r0 / 10
+
+
+def test_train_cnn_small():
+    pytest.importorskip("flax")
+    pytest.importorskip("optax")
+    import train_cnn
+
+    train_cnn.main(steps=30)  # self-asserting: loss must drop
