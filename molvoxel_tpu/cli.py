@@ -29,6 +29,7 @@ def _cmd_info(args) -> int:
     print(f"molvoxel-tpu {__version__}")
     print(f"jax {jax.__version__}, backend {jax.default_backend()}, {len(jax.devices())} device(s)")
     print(f"native fast parser: {'yes' if NATIVE_AVAILABLE else 'no (pure-python fallback)'}")
+    print("formats: sdf/.sdf.gz (V2000+V3000), pdb (+multi-MODEL), xyz, mol2")
     try:
         import rdkit  # noqa: F401
 
