@@ -274,13 +274,20 @@ def iter_xyz(path: str | Path) -> Iterator[SimpleMolecule]:
         if not lines[i].strip():
             i += 1
             continue
-        na = int(lines[i].strip())
+        try:
+            na = int(lines[i].strip())
+        except ValueError as e:
+            raise ValueError(f"XYZ: expected an atom count at line {i + 1}") from e
+        if i + 2 + na > n:
+            raise ValueError(f"XYZ: record at line {i + 1} claims {na} atoms but the file ends")
         name = lines[i + 1].strip()
         rows = lines[i + 2 : i + 2 + na]
         symbols = []
         coords = np.empty((na, 3), np.float64)
         for j, row in enumerate(rows):
             t = row.split()
+            if len(t) < 4:
+                raise ValueError(f"XYZ: truncated atom row at line {i + 3 + j}")
             symbols.append(t[0])
             coords[j] = (_f(t[1]), _f(t[2]), _f(t[3]))
         yield SimpleMolecule(coords=coords, symbols=symbols, bonds=[], name=name)
@@ -335,10 +342,14 @@ def iter_mol2(path: str | Path) -> Iterator[SimpleMolecule]:
         if i >= n or lines[i].strip() != "@<TRIPOS>ATOM":
             continue
         i += 1
+        if i + na > n:
+            raise ValueError(f"MOL2: record '{name}' claims {na} atoms but the file ends")
         coords = np.empty((na, 3), np.float64)
         symbols = []
         for j in range(na):
             t = lines[i + j].split()
+            if len(t) < 6:
+                raise ValueError(f"MOL2: truncated atom row at line {i + j + 1}")
             coords[j] = (float(t[2]), float(t[3]), float(t[4]))
             symbols.append(t[5].split(".")[0])
         i += na
@@ -349,8 +360,12 @@ def iter_mol2(path: str | Path) -> Iterator[SimpleMolecule]:
             i += 1
         if i < n and lines[i].strip() == "@<TRIPOS>BOND":
             i += 1
+            if i + nb > n:
+                raise ValueError(f"MOL2: record '{name}' claims {nb} bonds but the file ends")
             for j in range(nb):
                 t = lines[i + j].split()
+                if len(t) < 4:
+                    raise ValueError(f"MOL2: truncated bond row at line {i + j + 1}")
                 bonds.append((int(t[1]) - 1, int(t[2]) - 1, MOL2_BOND_TYPES.get(t[3], "SINGLE")))
             i += nb
         yield SimpleMolecule(coords=coords, symbols=symbols, bonds=bonds, name=name)

@@ -558,3 +558,33 @@ class TestPDBModels:
         assert len(mols) == 2
         assert mols[0].symbols == ["N", "C"] and mols[1].name.endswith("model-2")
         np.testing.assert_allclose(mols[1].coords[0, 0] - mols[0].coords[0, 0], 0.1, atol=1e-6)
+
+
+class TestMalformedInputs:
+    """Truncated/malformed files fail with clear errors, not IndexErrors."""
+
+    def test_truncated_xyz(self, tmp_path):
+        from molvoxel_tpu.data import read_xyz
+
+        p = tmp_path / "t.xyz"
+        p.write_text("5\ncomment\nC 0 0 0\n")
+        with pytest.raises(ValueError, match="claims 5 atoms"):
+            read_xyz(p)
+        p.write_text("2\ncomment\nC 0 0 0\nN 1 1\n")
+        with pytest.raises(ValueError, match="truncated atom row"):
+            read_xyz(p)
+        p.write_text("nonsense\n")
+        with pytest.raises(ValueError, match="atom count"):
+            read_xyz(p)
+
+    def test_truncated_mol2(self, tmp_path):
+        from molvoxel_tpu.data import read_mol2
+
+        p = tmp_path / "t.mol2"
+        p.write_text("@<TRIPOS>MOLECULE\nx\n 3 0\nSMALL\n\n@<TRIPOS>ATOM\n1 C1 0 0 0 C\n")
+        with pytest.raises(ValueError, match="claims 3 atoms"):
+            read_mol2(p)
+        p.write_text("@<TRIPOS>MOLECULE\nx\n 1 1\nSMALL\n\n@<TRIPOS>ATOM\n"
+                     "1 C1 0 0 0 C\n@<TRIPOS>BOND\n1 1\n")
+        with pytest.raises(ValueError, match="truncated bond row"):
+            read_mol2(p)
