@@ -1,4 +1,4 @@
-"""Minimal dependency-free molecular file readers (SDF V2000, PDB).
+"""Minimal dependency-free molecular file readers (SDF V2000/V3000, PDB, XYZ, MOL2).
 
 The reference's chemistry layer is RDKit-only (/root/reference/molvoxel/etc/
 rdkit/): without RDKit installed it cannot load a molecule at all.  Here the
