@@ -141,6 +141,29 @@ class Voxelizer:
             seed = int(np.random.randint(0, 2**31 - 1))
         self._key = jax.random.PRNGKey(seed)
 
+    # --------------------------------------------------- device shims (compat)
+    # The reference torch backend exposes .to/.cuda/.cpu device management
+    # (/root/reference/molvoxel/voxelizer/torch/voxelizer.py:73-88).  Here
+    # device placement is XLA's job — these record the request and return
+    # self so reference-shaped code (`voxelizer.cuda()`) runs unmodified.
+
+    def to(self, device) -> "Voxelizer":
+        """Accept a device request (no-op; XLA owns placement). Returns self."""
+        self._device = str(device)
+        return self
+
+    def cuda(self) -> "Voxelizer":
+        """Reference-compat shim; the accelerator here is whatever JAX runs on."""
+        return self.to("cuda")
+
+    def cpu(self) -> "Voxelizer":
+        """Reference-compat shim (torch/voxelizer.py:85-88)."""
+        return self.to("cpu")
+
+    @property
+    def device(self) -> str | None:
+        return self._device
+
     # ------------------------------------------------------------------ config
 
     @property

@@ -631,20 +631,28 @@ class SDFBatchFeeder:
                     b = morton_presort(b, self.spec)
                 yield b
 
-    def iter_wire(self, spec, scale: float | None = None) -> Iterator[tuple]:
+    def iter_wire(self, spec) -> Iterator[tuple]:
         """Stream ((B, Vp, 4) int16 wire, (B,) num_atoms, num_channels).
 
         The all-native streaming fast path: shards parse in C, batches
         assemble/center/presort/quantize in one C pass (assemble_wire) —
         the Python driver only hands buffers around, so the feed fully
-        overlaps the dispatch thread (both C calls release the GIL)."""
+        overlaps the dispatch thread (both C calls release the GIL).
+
+        Quantization always uses ``wire_scale(spec)`` — the same scale the
+        wire consumers (stream_checksum / the fused scan step) dequantize
+        with, so there is no per-call scale knob to get out of sync."""
         if self.radii_by_type is not None:
             raise ValueError(
                 "iter_wire carries types, not per-atom radii; pass radii_by_type= to "
                 "stream_checksum / the fused step instead (gathered in-graph)"
             )
-        if scale is None:
-            scale = wire_scale(spec)
+        if not self.center:
+            raise ValueError(
+                "iter_wire always centers per molecule (the C wire assembly has no "
+                "uncentered mode); use __iter__ for center=False feeds"
+            )
+        scale = wire_scale(spec)
         carry = concat_flat_clouds([])
         for fc, last in self._pump():
             chunk = concat_flat_clouds([carry, fc])

@@ -209,8 +209,8 @@ def iter_pdb_models(path: str | Path, *, include_hetatm: bool = True) -> Iterato
             if rec == "ENDMDL":
                 model += 1
                 yield SimpleMolecule(
-                    coords=np.asarray(coords, dtype=np.float64), symbols=symbols,
-                    bonds=[], name=f"{name}/model-{model}",
+                    coords=np.asarray(coords, dtype=np.float64).reshape(len(symbols), 3),
+                    symbols=symbols, bonds=[], name=f"{name}/model-{model}",
                 )
                 coords, symbols = [], []
             elif rec == "ATOM  " or (include_hetatm and rec == "HETATM"):

@@ -61,9 +61,16 @@ def to_torch(array):
     host memory (DLPack / ``torch.from_numpy``); bfloat16 and float8_e4m3fn
     have no numpy representation, so they cross as uint16/uint8 bit-views
     reinterpreted on the torch side (bit-exact, no rounding).
+
+    JAX device arrays export as *read-only* numpy views; those are copied
+    once here so the returned tensor is writable (torch has no read-only
+    tensors — wrapping the view directly would be undefined behavior on
+    in-place writes, and warns on every call).
     """
     _require_torch()
     np_arr = np.asarray(array)  # device arrays fetch once; host arrays are views
+    if not np_arr.flags.writeable:
+        np_arr = np.array(np_arr)
     name = np_arr.dtype.name  # ml_dtypes names: 'bfloat16', 'float8_e4m3fn'
     if name == "bfloat16":
         return torch.from_numpy(

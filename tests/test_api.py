@@ -287,3 +287,49 @@ class TestForwardBatch:
         for i, ((crd, feat), r) in enumerate(zip(clouds, radii)):
             single = vox.forward_features(crd, None, feat, r)
             np.testing.assert_allclose(out[i], single, atol=1e-5)
+
+
+class TestMigrationCompat:
+    """Reference-shaped snippets must run verbatim (molvoxel -> molvoxel_tpu)."""
+
+    def test_voxelizer_subpackage_facade(self):
+        # mirrors /root/reference/molvoxel/voxelizer/__init__.py:2-37 imports
+        from molvoxel_tpu.voxelizer import (
+            RandomTransform,
+            Voxelizer,
+            create_random_transform,
+            create_voxelizer,
+        )
+
+        vox = create_voxelizer(resolution=RES, dimension=DIM)
+        assert isinstance(vox, Voxelizer)
+        tr = create_random_transform(random_translation=0.5, random_rotation=True)
+        assert isinstance(tr, RandomTransform)
+
+    def test_torch_backend_device_shims(self, cloud):
+        # reference torch snippet shape: voxelizer.cuda() / .to(device) / .cpu()
+        # (/root/reference/molvoxel/voxelizer/torch/voxelizer.py:73-88)
+        coords, features, _, center = cloud
+        vox = make_voxelizer(device="cpu")
+        assert vox.cuda() is vox
+        assert vox.device == "cuda"
+        assert vox.to("cpu") is vox and vox.device == "cpu"
+        assert vox.cpu() is vox
+        out = vox.forward(coords, center, features, radii=1.0)
+        ref = make_voxelizer().forward(coords, center, features, radii=1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_reference_torch_snippet_verbatim(self, cloud):
+        # a verbatim reference-style workflow, only the package name swapped
+        import molvoxel_tpu as molvoxel
+
+        coords, features, _, center = cloud
+        voxelizer = molvoxel.create_voxelizer(
+            resolution=RES, dimension=DIM, density_type="gaussian", library="torch"
+        )
+        voxelizer = voxelizer.cuda()
+        image = voxelizer.forward_features(
+            voxelizer.asarray(coords, "coords"), center, features, radii=1.0
+        )
+        assert image.shape == (features.shape[1], DIM, DIM, DIM)
+        assert float(np.asarray(image).max()) > 0

@@ -559,6 +559,24 @@ class TestPDBModels:
         assert mols[0].symbols == ["N", "C"] and mols[1].name.endswith("model-2")
         np.testing.assert_allclose(mols[1].coords[0, 0] - mols[0].coords[0, 0], 0.1, atol=1e-6)
 
+    def test_empty_model_yields_0x3_coords(self, tmp_path):
+        # degenerate MODEL/ENDMDL pair must still carry (0, 3) coords so
+        # downstream coords[:, 0] indexing cannot crash (ADVICE r3)
+        from molvoxel_tpu.data import iter_pdb_models
+
+        body = (
+            "MODEL        1\n"
+            "ENDMDL\n"
+            "MODEL        2\n"
+            "ATOM      1  N   ALA A   1      10.000  10.000  10.000  1.00  0.00           N\n"
+            "ENDMDL\n"
+        )
+        p = tmp_path / "empty_model.pdb"
+        p.write_text(body)
+        mols = list(iter_pdb_models(p))
+        assert mols[0].coords.shape == (0, 3)
+        assert mols[1].coords.shape == (1, 3)
+
 
 class TestMalformedInputs:
     """Truncated/malformed files fail with clear errors, not IndexErrors."""

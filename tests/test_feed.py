@@ -594,3 +594,19 @@ def test_wire_assemble_native_bounds():
         wire_assemble_native(coords, types, np.array([10], np.int64), 8, 1024.0, 0, -16.0, 1.0)
     with pytest.raises(ValueError, match="more atoms"):
         wire_assemble_native(coords, types, np.array([8, 8], np.int64), 16, 1024.0, 0, -16.0, 1.0)
+
+
+def test_iter_wire_rejects_uncentered_feeder(tmp_path):
+    # the C wire assembly always centers; silently ignoring center=False
+    # would change semantics (ADVICE r3) — must raise instead
+    from molvoxel_tpu.core import GridSpec
+    from molvoxel_tpu.data.feed import SDFBatchFeeder
+
+    p = tmp_path / "one.sdf"
+    p.write_text(
+        "m\n  x\n\n  1  0  0  0  0  0  0  0  0  0999 V2000\n"
+        "    0.0000    0.0000    0.0000 C   0  0  0  0  0\nM  END\n$$$$\n"
+    )
+    feeder = SDFBatchFeeder(p, ["C", "N", "O"], batch_size=2, center=False)
+    with pytest.raises(ValueError, match="center"):
+        next(feeder.iter_wire(GridSpec(resolution=0.5, dimension=16)))

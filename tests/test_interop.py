@@ -194,3 +194,19 @@ def test_grid_store_dataset(tmp_path, sdf10):
         assert grids.shape[1:] == (4, 16, 16, 16)
         seen += grids.shape[0]
     assert seen == 10
+
+
+def test_to_torch_returns_writable_tensor():
+    # JAX arrays export read-only numpy views; to_torch must copy so the
+    # tensor is safely writable (no UserWarning, no UB on in-place writes)
+    import warnings
+
+    import jax.numpy as jnp
+
+    x = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        t = to_torch(x)
+    t[0, 0] = 99.0  # must not throw or corrupt the source
+    assert float(t[0, 0]) == 99.0
+    assert float(x[0, 0]) == 0.0
