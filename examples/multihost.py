@@ -8,8 +8,16 @@ simulate a pod with:
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python examples/multihost.py
+
+Multi-process correctness: jit inputs on a multi-process runtime must be
+GLOBAL arrays whose shards live on each process's own devices — built with
+``jax.make_array_from_process_local_data`` (wrapped here as
+``parallel.globalize_batch``).  Building global-shape arrays with
+``jnp.asarray`` per process works single-host but fails on a real pod with
+non-addressable-shard errors.
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -19,54 +27,108 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # some TPU plugins ignore the env var; the config update is authoritative
+    jax.config.update("jax_platforms", "cpu")
+
 from molvoxel_tpu.core import GridSpec
 from molvoxel_tpu.parallel import (
     StreamingVoxelizer,
+    globalize_batch,
     initialize_distributed,
     make_mesh,
-    voxelize_batch_2d,
+    voxelize_batch_dp,
 )
 
 
 def main():
     initialize_distributed()  # no-op single-process
     n = len(jax.devices())
-    print(f"process {jax.process_index()}/{jax.process_count()}, {n} global devices")
+    pid, nproc = jax.process_index(), jax.process_count()
+    n_local = len(jax.local_devices())
+    print(f"process {pid}/{nproc}, {n} global devices ({n_local} local)")
 
-    depth = 2 if n % 2 == 0 and n >= 2 else 1
-    mesh = make_mesh(data=n // depth, depth=depth)
+    mesh = make_mesh(data=n)
     spec = GridSpec(resolution=0.5, dimension=32)
 
-    # each process generates (in production: reads) its local molecules
-    rng = np.random.default_rng(jax.process_index())
-    batch = mesh.shape["data"] * 4
+    # each process generates (in production: reads) its LOCAL slice of the
+    # global batch — local rows only, globalized onto the mesh below
+    rng = np.random.default_rng(pid)
+    local_b = n_local * 4
+    global_b = local_b * nproc
     vp, v, c = 128, 40, 4
-    coords = np.zeros((batch, vp, 3), np.float32)
-    coords[:, :v] = rng.uniform(-5, 5, (batch, v, 3))
-    weights = np.zeros((batch, vp, c), np.float32)
-    weights[:, :v] = rng.uniform(size=(batch, v, c))
-    mask = np.zeros((batch, vp), bool)
+    coords = np.zeros((local_b, vp, 3), np.float32)
+    coords[:, :v] = rng.uniform(-5, 5, (local_b, v, 3))
+    weights = np.zeros((local_b, vp, c), np.float32)
+    weights[:, :v] = rng.uniform(size=(local_b, v, c))
+    mask = np.zeros((local_b, vp), bool)
     mask[:, :v] = True
 
     import jax.numpy as jnp
 
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    grids, mass = voxelize_batch_2d(
-        jnp.asarray(coords), jnp.asarray(weights), jnp.ones((vp,), jnp.float32),
-        jnp.asarray(mask), None, keys, 0.5,
+    # identical key schedule everywhere; each process globalizes its rows
+    keys = jax.device_get(jax.random.split(jax.random.PRNGKey(0), global_b))
+    local_keys = keys[pid * local_b : (pid + 1) * local_b]
+    centers = np.zeros((local_b, 3), np.float32)
+
+    grids = voxelize_batch_dp(
+        globalize_batch(mesh, coords),
+        globalize_batch(mesh, weights),
+        jnp.ones((vp,), jnp.float32),
+        globalize_batch(mesh, mask),
+        globalize_batch(mesh, centers),
+        globalize_batch(mesh, local_keys),
+        0.5,
         mesh=mesh, spec=spec, random_rotation=True,
     )
     grids.block_until_ready()
-    print(f"grids {grids.shape} sharded over {mesh.shape}; psum mass = {float(mass):.1f}")
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    # streaming driver over the same mesh
+    mass = float(jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(grids))
+    print(f"grids {grids.shape} sharded over {mesh.shape}; global mass = {mass:.1f}")
+
+    # streaming an SDF library across every process: disjoint file stripes ->
+    # global DP batches -> per-host gridstore shards (parallel/multihost.py)
+    from molvoxel_tpu.data.parsers import SimpleMolecule, write_sdf
+    from molvoxel_tpu.parallel import stream_dp_multiprocess
+
+    lib = Path(f"/tmp/multihost_lib_{pid}.sdf")  # demo fixture; use a real library path
+    if pid == 0:
+        parts = []
+        for i in range(64):
+            m = SimpleMolecule(
+                coords=rng.uniform(-4, 4, (24, 3)), symbols=["C", "N", "O"] * 8,
+                bonds=[], name=f"demo-{i}",
+            )
+            tmp = lib.with_suffix(f".{i}")
+            write_sdf(m, tmp)
+            parts.append(tmp.read_text())
+            tmp.unlink()
+        Path("/tmp/multihost_lib.sdf").write_text("".join(parts))
+    if nproc > 1:
+        import time
+
+        while not Path("/tmp/multihost_lib.sdf").exists():
+            time.sleep(0.2)  # pod filesystems are per-host; in production the
+            # library lives on shared storage — this wait is demo-only
+    stats = stream_dp_multiprocess(
+        "/tmp/multihost_lib.sdf", ["C", "N", "O"], spec,
+        mesh=mesh, batch_size=n_local * 2, bucket=128, unknown=True,
+        store_root="/tmp/multihost_store",
+    )
+    print(
+        f"process {pid}: streamed {stats.molecules} molecules in {stats.batches} "
+        f"batches -> /tmp/multihost_store/proc-{pid:03d}"
+    )
+
+    # the in-process streaming driver still works for host-local workloads
     def clouds():
-        for i in range(batch):
-            yield coords[i, : 40], weights[i, : 40]
+        for i in range(local_b):
+            yield coords[i, :v], weights[i, :v]
 
-    sv = StreamingVoxelizer(spec, batch_size=mesh.shape["data"] * 2, mesh=mesh)
+    sv = StreamingVoxelizer(spec, batch_size=n_local * 2, mesh=mesh if nproc == 1 else None)
     stats = sv.run(clouds())
-    print(f"streamed {stats.molecules} molecules in {stats.batches} batches")
+    print(f"streamed {stats.molecules} local molecules in {stats.batches} batches")
 
 
 if __name__ == "__main__":

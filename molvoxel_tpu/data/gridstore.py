@@ -52,6 +52,7 @@ class GridShardWriter:
         resolution: float,
         dimension: int,
         target_bytes: int = 64 << 20,
+        extra_manifest: dict | None = None,
     ):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
@@ -59,6 +60,9 @@ class GridShardWriter:
         self.resolution = float(resolution)
         self.dimension = int(dimension)
         self.target_bytes = int(target_bytes)
+        # e.g. {"process_index": k, "num_processes": n} for per-host shards
+        # of a multi-process stream (parallel/stream.py stream_dp_multiprocess)
+        self.extra_manifest = dict(extra_manifest or {})
         self._buf: list[np.ndarray] = []
         self._buf_bytes = 0
         self._atoms: list[np.ndarray] = []
@@ -127,6 +131,7 @@ class GridShardWriter:
             "resolution": self.resolution,
             "dimension": self.dimension,
             "channels": self.channels,
+            **self.extra_manifest,
         }
         (self.root / _MANIFEST).write_text(json.dumps(manifest, indent=1))
         self._atoms = [atoms]

@@ -7,6 +7,7 @@ from .mesh import (
     pad_batch_to_mesh,
     replicated_sharding,
 )
+from .multihost import globalize_batch, stream_dp_multiprocess
 from .sharded import voxelize_batch_2d, voxelize_batch_dp, voxelize_depth_sharded
 from .stream import StreamingVoxelizer, StreamStats, stream_checksum
 
@@ -18,6 +19,8 @@ __all__ = [
     "make_mesh",
     "pad_batch_to_mesh",
     "replicated_sharding",
+    "globalize_batch",
+    "stream_dp_multiprocess",
     "voxelize_batch_2d",
     "voxelize_batch_dp",
     "StreamingVoxelizer",

@@ -56,3 +56,105 @@ def test_two_process_data_parallel():
     vals = [line for out in outs for line in out.splitlines() if line.startswith("CHECK")]
     got = {line.split("got=")[1].split()[0] for line in vals}
     assert len(got) == 1, vals
+
+
+STREAM_WORKER = Path(__file__).parent / "multiproc_stream_worker.py"
+
+
+def _fixture_sdf(path, n=18, seed=7):
+    import numpy as np
+
+    from molvoxel_tpu.data.parsers import SimpleMolecule, write_sdf
+
+    rng = np.random.default_rng(seed)
+    syms = np.array(["C", "N", "O", "P"])
+    with open(path, "w") as fh:
+        pass
+    import io
+
+    buf = []
+    for i in range(n):
+        v = int(rng.integers(3, 40))
+        mol = SimpleMolecule(
+            coords=rng.uniform(-3, 3, (v, 3)),
+            symbols=list(syms[rng.integers(0, 4, v)]),
+            bonds=[], name=f"mol-{i}",
+        )
+        tmp = Path(path).with_suffix(f".tmp{i}")
+        write_sdf(mol, tmp)
+        buf.append(tmp.read_text())
+        tmp.unlink()
+    Path(path).write_text("".join(buf))
+    return n
+
+
+def _reference_sum(sdf, tmp_path):
+    """Single-process grid sum over the whole file (independent code path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molvoxel_tpu.core import GridSpec
+    from molvoxel_tpu.data.feed import SDFBatchFeeder
+    from molvoxel_tpu.ops.batch import voxelize_batch
+
+    spec = GridSpec(resolution=0.5, dimension=16)
+    feeder = SDFBatchFeeder(sdf, ["C", "N", "O"], batch_size=4, bucket=64, unknown=True)
+    total = 0.0
+    nmol = 0
+    for b in feeder:
+        keys = jax.random.split(jax.random.PRNGKey(0), b.batch_size)
+        out = voxelize_batch(
+            jnp.asarray(b.coords), jnp.asarray(b.weights), jnp.ones((64,), jnp.float32),
+            jnp.asarray(b.mask), jnp.asarray(b.centers), keys, 0.0,
+            spec=spec, density_type="gaussian", sigma=0.5,
+        )
+        total += float(jnp.sum(out))
+        nmol += int((b.num_atoms > 0).sum())
+    return total, nmol
+
+
+def test_two_process_stream_end_to_end(tmp_path):
+    """parse (striped) -> global DP batch -> voxelize -> per-host gridstore."""
+    import numpy as np
+
+    sdf = tmp_path / "lib.sdf"
+    n = _fixture_sdf(sdf)
+    store = tmp_path / "store"
+    port = _free_port()
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(STREAM_WORKER), str(port), str(pid), "2", str(sdf), str(store)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+            cwd=str(STREAM_WORKER.parent.parent),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=220)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"STREAM process={pid}" in out, out
+
+    # both per-host stores exist, identify themselves, and cover the file
+    from molvoxel_tpu.data.gridstore import read_grid_shards
+
+    total = 0.0
+    nmol = 0
+    for pid in range(2):
+        grids, manifest = read_grid_shards(store / f"proc-{pid:03d}")
+        assert manifest["process_index"] == pid
+        assert manifest["num_processes"] == 2
+        if manifest["num_molecules"]:
+            total += float(np.asarray(grids, np.float32).sum())
+        nmol += manifest["num_molecules"]
+    want_sum, want_n = _reference_sum(sdf, tmp_path)
+    assert nmol == want_n == n
+    assert abs(total - want_sum) <= 1e-3 * max(abs(want_sum), 1.0), (total, want_sum)
