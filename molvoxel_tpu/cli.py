@@ -97,10 +97,17 @@ def _cmd_voxelize(args) -> int:
 
     # --batch default is mode-dependent (64 for grids, 4096 for --throughput);
     # None = unset so an explicit --batch 64 is honored in every mode.
-    batch_size = args.batch if args.batch is not None else 64
+    # Depths beyond the kernel's VMEM budget (--dimension 256+) assemble the
+    # full grid from depth slabs with bounded memory (ops/batch.py); the
+    # default batch also drops so a batch of 256^3 grids fits on host/device.
+    from .ops.batch import pick_slab_depth
+
+    slab_depth = pick_slab_depth(spec, len(symbols) + (1 if args.unknown else 0))
+    batch_size = args.batch if args.batch is not None else (4 if slab_depth else 64)
     sv = StreamingVoxelizer(
         spec,
         batch_size=batch_size,
+        slab_depth=slab_depth,
         density_type=args.density,
         sigma=args.sigma,
         radii=args.radii,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..core.config import GridSpec
 from ..core.transform import do_random_transform
 from .dense import voxelize_dense, voxelize_dense_channelwise
-from .voxelize import default_batch_impl
+from .voxelize import default_batch_impl, notrunc_use_pallas
 
 
 @functools.partial(
@@ -100,7 +100,10 @@ def voxelize_batch(
     # (benchmarks/experiments/protein_probe3.py).
     if (
         impl == "pallas"
-        and density_type != "gaussian_notrunc"
+        and (
+            density_type != "gaussian_notrunc"
+            or notrunc_use_pallas(coords.shape[1], spec.dimension, d_count)
+        )
         and not channelwise
         and coords.shape[1] > 128
         and not presorted
@@ -115,7 +118,11 @@ def voxelize_batch(
 
     coords = jax.vmap(lambda k, crd: do_random_transform(k, crd, None, rt, random_rotation))(keys, coords)
 
-    if density_type == "gaussian_notrunc":
+    if density_type == "gaussian_notrunc" and not (
+        impl == "pallas"
+        and not channelwise
+        and notrunc_use_pallas(coords.shape[1], spec.dimension, d_count)
+    ):
         from .separable import voxelize_separable_batch, voxelize_separable_batch_channelwise
 
         kw = dict(spec=spec, sigma=sigma, mask=mask, d_offset=d_offset, d_count=d_count,
@@ -160,6 +167,76 @@ def voxelize_batch(
         out = jax.lax.optimization_barrier(out)
     return out
 
+
+
+def pick_slab_depth(spec: GridSpec, num_channels: int = 4) -> int | None:
+    """Depth-slab size for grids whose full depth exceeds the kernel budget.
+
+    None = the whole-row v5 kernel holds the full (8, D, hwt) output tile in
+    VMEM (every standard dimension <= 128); otherwise the largest
+    8-multiple divisor of D whose slab tile fits — 64 for 256^3.  Drives
+    the full-grid assembly path (voxelize_batch_sliced, CLI --dimension 256).
+    """
+    from .pallas_deposit import _OUT_BUDGET, _row_tile
+
+    dim = spec.dimension
+    hwt = _row_tile(dim * dim, dim)
+    if hwt is None or 8 * dim * hwt * 4 <= _OUT_BUDGET:
+        return None
+    best = None
+    for slab in range(8, dim, 8):
+        if dim % slab == 0 and 8 * slab * hwt * 4 <= _OUT_BUDGET:
+            best = slab
+    return best if best is not None else 8
+
+
+def voxelize_batch_sliced(
+    coords,
+    weights,
+    radii,
+    mask,
+    centers,
+    keys,
+    random_translation=0.0,
+    *,
+    spec: GridSpec,
+    slab_depth: int,
+    out: "np.ndarray | None" = None,
+    **kw,
+):
+    """Assemble a FULL (B, C, D, H, W) grid from depth slabs, bounded memory.
+
+    Depths beyond the kernel's VMEM output budget (256^3+) run as a loop of
+    ``d_count=slab_depth`` slabs — the same unit depth-sharding distributes
+    across a mesh (parallel/sharded.py), here executed sequentially on one
+    chip with a 2-slab in-flight window: slab k+1 dispatches (async) while
+    slab k's bytes land in the host buffer, so device memory stays
+    O(B * C * slab * H * W) and host memory holds only the result.  Every
+    slab reuses the SAME per-molecule PRNG keys, so the random rigid
+    transform is consistent across the assembled grid.
+
+    Returns the host ndarray (``out`` if given — e.g. a np.memmap for
+    library-scale grids)."""
+    import numpy as np
+
+    dim = spec.dimension
+    if dim % slab_depth:
+        raise ValueError(f"dimension {dim} not divisible by slab_depth {slab_depth}")
+    b, _, c = weights.shape
+    dtype = np.dtype(jnp.dtype(kw.get("out_dtype", "float32")))
+    if out is None:
+        out = np.empty((b, c, dim, dim, dim), dtype)
+    pending = None
+    for d0 in range(0, dim, slab_depth):
+        cur = voxelize_batch(
+            coords, weights, radii, mask, centers, keys, random_translation,
+            spec=spec, d_offset=d0, d_count=slab_depth, **kw,
+        )
+        if pending is not None:
+            out[:, :, pending[0] : pending[0] + slab_depth] = np.asarray(pending[1])
+        pending = (d0, cur)
+    out[:, :, pending[0] : pending[0] + slab_depth] = np.asarray(pending[1])
+    return out
 
 
 def kw_nomask(kw):

@@ -39,6 +39,28 @@ def default_batch_impl() -> str:
     return default_impl()
 
 
+# gaussian_notrunc routing crossover, measured on-chip (benchmarks/
+# experiments/r4_notrunc_probe.py, bf16+f32): the pruned Pallas kernel
+# (underflow-radius cutoff, pallas_deposit.notrunc_r2_thresh) beats the
+# separable einsum only when BOTH the atom count and the grid are large —
+# protein 128^3: 462 vs 1016 us/mol bf16 (2.2x); but protein 48^3: 135 vs 54
+# (separable wins — its einsum is one full-MXU pass and the grid is small),
+# complex 48^3: 138 vs 94, ligand 128^3: 40 vs 31.  The separable cost is
+# O(V * (C*Dl + H*W)) bytes of eyz/u temporaries per molecule, so it loses
+# when depth (or the 256^3-class H*W plane) blows those up.
+NOTRUNC_PALLAS_MIN_ATOMS = 1024
+NOTRUNC_PALLAS_MIN_DEPTH = 96
+NOTRUNC_PALLAS_MIN_DIM = 192
+
+
+def notrunc_use_pallas(num_atoms: int, dim: int = 0, dl: int | None = None) -> bool:
+    """True when gaussian_notrunc should run on the pruned Pallas kernel."""
+    dl = dim if dl is None else dl
+    return num_atoms >= NOTRUNC_PALLAS_MIN_ATOMS and (
+        dl >= NOTRUNC_PALLAS_MIN_DEPTH or dim >= NOTRUNC_PALLAS_MIN_DIM
+    )
+
+
 def voxelize(
     coords: jnp.ndarray,
     weights: jnp.ndarray,
@@ -60,8 +82,14 @@ def voxelize(
     """
     if impl == "auto":
         impl = default_impl()
-    if density_type == "gaussian_notrunc":
-        # fully-separable: one well-shaped matmul, backend-portable (ops/separable.py)
+    if density_type == "gaussian_notrunc" and not (
+        impl == "pallas"
+        and not channelwise_radii
+        and notrunc_use_pallas(coords.shape[0], spec.dimension, d_count)
+    ):
+        # fully-separable: one well-shaped matmul, backend-portable
+        # (ops/separable.py); protein-scale inputs route to the pruned
+        # Pallas kernel instead (underflow-radius cutoff, see batch.py)
         from .separable import voxelize_separable
 
         return voxelize_separable(

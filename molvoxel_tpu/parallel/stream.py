@@ -69,6 +69,7 @@ class StreamingVoxelizer:
         out_dtype: str = "float32",
         presorted: bool = False,
         materialize: bool = False,
+        slab_depth: int | None = None,
     ):
         self.spec = spec
         self.batch_size = batch_size
@@ -84,6 +85,10 @@ class StreamingVoxelizer:
         self.out_dtype = out_dtype
         self.presorted = presorted
         self.materialize = materialize
+        # full-grid assembly for depths beyond the kernel budget (256^3+):
+        # loop depth slabs and assemble on the host (ops/batch.py
+        # voxelize_batch_sliced).  None = single-launch full depth.
+        self.slab_depth = slab_depth
         self._key = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------- checkpoint
@@ -130,6 +135,15 @@ class StreamingVoxelizer:
             out_dtype=self.out_dtype,
             presorted=self.presorted,
         )
+        if self.slab_depth is not None:
+            from ..ops.batch import voxelize_batch_sliced
+
+            return voxelize_batch_sliced(
+                *args, spec=self.spec, slab_depth=self.slab_depth,
+                density_type=self.density_type, sigma=self.sigma,
+                random_rotation=self.random_rotation, out_dtype=self.out_dtype,
+                presorted=self.presorted, radii_batched=per_atom,
+            )
         if self.mesh is None:
             kw["materialize"] = self.materialize
         if self.mesh is not None and not per_atom and b % self.mesh.shape[DATA_AXIS] == 0:

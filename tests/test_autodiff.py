@@ -180,3 +180,100 @@ def test_pose_recovery_by_gradient_descent(rng):
         params, state, _ = step(params, state)
     r1 = rmsd(pose(params), target_coords)
     assert r1 < r0 / 5, f"pose RMSD {r0:.3f} -> {r1:.3f}: did not converge"
+
+
+SPEC16 = GridSpec(resolution=0.5, dimension=16)
+
+
+@pytest.mark.parametrize("density", ["gaussian", "binary", "gaussian_notrunc"])
+def test_pallas_backward_kernel_matches_dense(rng, density):
+    """dim=16 is row-tileable -> the Pallas BACKWARD kernel runs (not the
+    dense replay); all three grads must match the dense-path VJP."""
+    from molvoxel_tpu.ops.pallas_deposit import pallas_bwd_supported
+
+    assert pallas_bwd_supported(SPEC16, 2)
+    coords, weights, radii, _ = small_cloud(rng, v=10)
+    target = jnp.asarray(rng.normal(size=(2, 16, 16, 16)).astype(np.float32))
+    vp = 128
+    cp = jnp.zeros((vp, 3)).at[:10].set(coords)
+    wp = jnp.zeros((vp, 2)).at[:10].set(weights)
+    rp = jnp.ones((vp,)).at[:10].set(radii)
+    mask = jnp.arange(vp) < 10
+
+    def loss_impl(impl):
+        def loss(c, w, r):
+            out = voxelize(c, w, r, spec=SPEC16, density_type=density, sigma=0.5,
+                           mask=mask, impl=impl)
+            return jnp.sum(out * target)
+
+        return loss
+
+    for argnum in (0, 1, 2):
+        g_pallas = np.asarray(jax.grad(loss_impl("pallas"), argnums=argnum)(cp, wp, rp))
+        if density == "gaussian_notrunc":
+            # small-V notrunc routes the dense impl through separable; compare
+            # against the dense op directly
+            def loss_dense(c, w, r):
+                out = voxelize_dense(c, w, r, spec=SPEC16, density_type=density,
+                                     sigma=0.5, mask=mask)
+                return jnp.sum(out * target)
+
+            g_dense = np.asarray(jax.grad(loss_dense, argnums=argnum)(cp, wp, rp))
+        else:
+            g_dense = np.asarray(jax.grad(loss_impl("dense"), argnums=argnum)(cp, wp, rp))
+        np.testing.assert_allclose(g_pallas, g_dense, atol=2e-4, err_msg=f"argnum={argnum}")
+
+
+def test_pallas_backward_protein_scale(rng):
+    """Multi-chunk (V=512) backward at 16^3: sort/inverse-scatter, plane
+    ranges, and tile accumulation all engage; grads must match dense."""
+    v, vp, c = 400, 512, 3
+    coords = jnp.asarray(rng.uniform(-3.5, 3.5, (vp, 3)).astype(np.float32))
+    weights = jnp.asarray(rng.uniform(0.1, 1.0, (vp, c)).astype(np.float32))
+    radii = jnp.asarray(rng.uniform(0.8, 1.6, (vp,)).astype(np.float32))
+    mask = jnp.arange(vp) < v
+    target = jnp.asarray(rng.normal(size=(c, 16, 16, 16)).astype(np.float32))
+
+    def loss_impl(impl):
+        def loss(crd, w, r):
+            out = voxelize(crd, w, r, spec=SPEC16, density_type="gaussian", sigma=0.5,
+                           mask=mask, impl=impl)
+            return jnp.sum(out * target)
+
+        return loss
+
+    for argnum in (0, 1, 2):
+        g_pallas = np.asarray(jax.grad(loss_impl("pallas"), argnums=argnum)(coords, weights, radii))
+        g_dense = np.asarray(jax.grad(loss_impl("dense"), argnums=argnum)(coords, weights, radii))
+        np.testing.assert_allclose(g_pallas, g_dense, atol=5e-4, err_msg=f"argnum={argnum}")
+
+
+def test_pallas_backward_depth_slab(rng):
+    """Backward through a depth slab (d_offset/d_count) — the depth-sharded
+    training configuration."""
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_bwd_batch
+
+    v, vp, c = 20, 128, 2
+    coords = np.zeros((vp, 3), np.float32)
+    coords[:v] = rng.uniform(-2.5, 2.5, (v, 3))
+    weights = np.zeros((vp, c), np.float32)
+    weights[:v] = rng.uniform(size=(v, c))
+    radii = np.ones((vp,), np.float32)
+    mask = np.arange(vp) < v
+    ct = rng.normal(size=(1, c, 8, 16, 16)).astype(np.float32)
+
+    dc, dw, dr = voxelize_pallas_bwd_batch(
+        jnp.asarray(coords)[None], jnp.asarray(weights)[None], jnp.asarray(radii),
+        jnp.asarray(ct), spec=SPEC16, density_type="gaussian", sigma=0.5,
+        mask=jnp.asarray(mask)[None], d_offset=4, d_count=8,
+    )
+
+    def f(crd, w, r):
+        return voxelize_dense(crd, w, r, spec=SPEC16, density_type="gaussian", sigma=0.5,
+                              mask=jnp.asarray(mask), d_offset=4, d_count=8)
+
+    _, vjp = jax.vjp(f, jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(radii))
+    ec, ew, er = vjp(jnp.asarray(ct[0]))
+    np.testing.assert_allclose(np.asarray(dc[0]), np.asarray(ec), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw[0]), np.asarray(ew), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(er), atol=2e-4)

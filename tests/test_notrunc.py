@@ -129,3 +129,73 @@ def test_depth_sharded_notrunc(rng):
     )
     want = np.asarray(voxelize_separable(coords, weights, radii, spec=SPEC, sigma=0.5))
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_pallas_notrunc_matches_separable(rng):
+    # the pruned kernel lane (underflow-radius thresh, coef from the true
+    # radius) must reproduce the separable/no-cutoff semantics
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas
+
+    v, vp, c = 25, 128, 3
+    coords = np.zeros((vp, 3), np.float32)
+    coords[:v] = rng.uniform(-2.5, 2.5, (v, 3))
+    weights = np.zeros((vp, c), np.float32)
+    weights[:v] = rng.uniform(size=(v, c))
+    radii = np.ones((vp,), np.float32)
+    radii[:v] = rng.uniform(0.7, 1.6, size=(v,))
+    mask = np.zeros((vp,), bool)
+    mask[:v] = True
+    got = np.asarray(
+        voxelize_pallas(
+            jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(radii),
+            spec=SPEC, density_type="gaussian_notrunc", sigma=0.5, mask=jnp.asarray(mask),
+        )
+    )
+    want = np.asarray(
+        voxelize_separable(
+            jnp.asarray(coords), jnp.asarray(weights), jnp.asarray(radii),
+            spec=SPEC, sigma=0.5, mask=jnp.asarray(mask),
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_notrunc_thresh_is_conservative():
+    # worst case for the eps-pruning bound: many atoms stacked far from a
+    # voxel — the summed dropped tail must stay under V * eps << 1e-5
+    from molvoxel_tpu.ops.pallas_deposit import NOTRUNC_EPS, notrunc_r2_thresh
+
+    r2 = np.float32(1.0)
+    th = float(notrunc_r2_thresh(r2, 0.5))
+    # density exactly at the cutoff distance equals eps
+    dens = np.exp(-0.5 * th / (1.0 * 0.25))
+    assert dens == pytest.approx(NOTRUNC_EPS, rel=1e-3)
+
+
+def test_batch_routes_large_v_to_pallas(rng, monkeypatch):
+    # at protein scale the batch path must route notrunc through the pruned
+    # kernel and still match the separable result
+    import molvoxel_tpu.ops.voxelize as vx
+
+    b, vp, v, c = 1, 1024, 300, 2
+    monkeypatch.setattr(vx, "NOTRUNC_PALLAS_MIN_ATOMS", 1024)
+    monkeypatch.setattr(vx, "NOTRUNC_PALLAS_MIN_DEPTH", 16)
+    coords = np.zeros((b, vp, 3), np.float32)
+    coords[:, :v] = rng.uniform(-2.5, 2.5, (b, v, 3))
+    weights = np.zeros((b, vp, c), np.float32)
+    weights[:, :v] = rng.uniform(size=(b, v, c))
+    mask = np.zeros((b, vp), bool)
+    mask[:, :v] = True
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    from molvoxel_tpu.ops.separable import voxelize_separable_batch
+
+    got = voxelize_batch(
+        jnp.asarray(coords), jnp.asarray(weights), jnp.ones((vp,), jnp.float32),
+        jnp.asarray(mask), None, keys, 0.0,
+        spec=SPEC, density_type="gaussian_notrunc", impl="pallas",
+    )
+    want = voxelize_separable_batch(
+        jnp.asarray(coords), jnp.asarray(weights), jnp.ones((vp,), jnp.float32),
+        spec=SPEC, sigma=0.5, mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -160,3 +160,60 @@ def test_subchunk_atom_bucket(rng, vp):
     wantc = voxelize_oracle(coords[:v], weights[:v], np.ones(c), 0.5, 16,
                             channelwise_radii=True)
     np.testing.assert_allclose(np.asarray(gotc), wantc, atol=1e-5)
+
+
+def test_pallas_channelwise_many_channels(rng):
+    # large-C expansion (17 virtual chunks) against the dense path
+    coords, weights, _, mask = padded_cloud(rng, c=17)
+    radii_c = jnp.asarray(np.linspace(0.7, 2.0, 17), dtype=jnp.float32)
+    got = np.asarray(
+        voxelize_pallas_channelwise(
+            coords, weights, radii_c, spec=SPEC, density_type="gaussian", sigma=0.5, mask=mask
+        )
+    )
+    want = np.asarray(
+        voxelize_dense_channelwise(
+            coords, weights, radii_c, spec=SPEC, density_type="gaussian", sigma=0.5, mask=mask
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_channelwise_notrunc_matches_separable(rng):
+    from molvoxel_tpu.ops.separable import voxelize_separable
+
+    coords, weights, _, mask = padded_cloud(rng, c=3)
+    radii_c = jnp.asarray([0.8, 1.1, 1.5], dtype=jnp.float32)
+    got = np.asarray(
+        voxelize_pallas_channelwise(
+            coords, weights, radii_c, spec=SPEC, density_type="gaussian_notrunc", sigma=0.5, mask=mask
+        )
+    )
+    want = np.asarray(
+        voxelize_separable(
+            coords, weights, radii_c, spec=SPEC, sigma=0.5, mask=mask, channelwise_radii=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_channelwise_bf16_out(rng):
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_batch_channelwise
+
+    coords, weights, _, mask = padded_cloud(rng, c=4)
+    radii_c = jnp.asarray([0.8, 1.0, 1.4, 2.0], dtype=jnp.float32)
+    f32 = np.asarray(
+        voxelize_pallas_batch_channelwise(
+            coords[None], weights[None], radii_c, spec=SPEC, density_type="gaussian",
+            sigma=0.5, mask=mask[None],
+        )
+    )
+    bf16 = np.asarray(
+        voxelize_pallas_batch_channelwise(
+            coords[None], weights[None], radii_c, spec=SPEC, density_type="gaussian",
+            sigma=0.5, mask=mask[None], out_dtype="bfloat16",
+        ).astype(jnp.float32)
+    )
+    assert bf16.dtype == np.float32
+    # bf16 grids track f32 within the 2^-8 relative quantization floor
+    np.testing.assert_allclose(bf16, f32, atol=1e-2, rtol=1e-2)

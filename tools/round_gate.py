@@ -22,8 +22,11 @@ Checks, all on the CURRENT jax backend (the real chip under the axon tunnel):
    - fp8 (e4m3) output lane (2^-3 relative bar),
    - channel-wise radii via the v5 virtual-atom expansion vs dense,
    - the int16 wire-format stream step vs the 3-array step,
+   - gaussian_notrunc on the PRUNED kernel vs the separable path (r4),
+   - the Pallas BACKWARD kernel vs the dense-path VJP (r4),
    - (--big) a 256^3 depth slab, where whole-row tiles exceed VMEM and the
-     kernel must stream (hwt_rows=None path).
+     kernel must stream (hwt_rows=None path), plus the FULL 256^3
+     depth-slab assembly driver (r4).
 """
 
 from __future__ import annotations
@@ -166,6 +169,49 @@ def kernel_checks(big: bool) -> dict:
         **kwargs, inv_scale=1.0 / scale))
     record("wire_format_step", abs(plain - wired), 1e-3 * max(abs(plain), 1.0))
 
+    # 8. notrunc on the PRUNED kernel (r4: underflow-radius thresh) vs the
+    #    independent separable path, at a scale where routing picks pallas
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_batch
+    from molvoxel_tpu.ops.separable import voxelize_separable_batch
+
+    spec_nt = GridSpec(resolution=0.5, dimension=64)
+    coords, weights, mask = _random_case(rng, 512, 4, spec_nt.width / 2)
+    radii_v = jnp.ones((512,), jnp.float32)
+    p_nt = np.asarray(voxelize_pallas_batch(
+        coords, weights, radii_v, spec=spec_nt, density_type="gaussian_notrunc",
+        sigma=0.5, mask=mask,
+    ))
+    s_nt = np.asarray(voxelize_separable_batch(
+        coords, weights, radii_v, spec=spec_nt, sigma=0.5, mask=mask,
+    ))
+    record("notrunc_pruned_kernel", np.abs(p_nt - s_nt).max(), 2e-5)
+
+    # 9. Pallas BACKWARD kernel vs the dense-path VJP, on-chip
+    from molvoxel_tpu.ops.dense import voxelize_dense
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_bwd_batch
+
+    spec_b = GridSpec(resolution=0.5, dimension=32)
+    coords, weights, mask = _random_case(rng, 256, 4, spec_b.width / 2)
+    radii_v = jnp.ones((256,), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 32)).astype(np.float32))
+    dc, dw, dr = voxelize_pallas_bwd_batch(
+        coords, weights, radii_v, ct, spec=spec_b, density_type="gaussian",
+        sigma=0.5, mask=mask,
+    )
+
+    def fdense(c, w, r):
+        return voxelize_dense(c, w, r, spec=spec_b, density_type="gaussian", sigma=0.5,
+                              mask=mask[0])
+
+    _, vjp = jax.vjp(fdense, coords[0], weights[0], radii_v)
+    ec, ew, er = vjp(ct[0])
+    err_b = max(
+        np.abs(np.asarray(dc[0]) - np.asarray(ec)).max(),
+        np.abs(np.asarray(dw[0]) - np.asarray(ew)).max(),
+        np.abs(np.asarray(dr) - np.asarray(er)).max(),
+    )
+    record("backward_kernel", err_b, 5e-3)  # grads scale with cotangent magnitude
+
     if big:
         # 5. 256^3 depth slab: whole-row tiles exceed VMEM -> streamed path
         spec = GridSpec(resolution=0.25, dimension=256)
@@ -173,6 +219,28 @@ def kernel_checks(big: bool) -> dict:
         p = _run(coords, weights, mask, spec, impl="pallas", d_offset=96, d_count=64)
         d = _run(coords, weights, mask, spec, impl="dense", d_offset=96, d_count=64)
         record("dim256_slab_streamed", np.abs(p - d).max(), 1e-5)
+
+        # 10. FULL 256^3 assembly from depth slabs (ops/batch.py
+        #     voxelize_batch_sliced): every assembled slab must equal the
+        #     direct d_offset/d_count call bit-for-bit
+        from molvoxel_tpu.ops.batch import pick_slab_depth, voxelize_batch_sliced
+
+        slab = pick_slab_depth(spec, 4)
+        keys = jax.random.split(jax.random.PRNGKey(7), 1)
+        radii_v = jnp.full((256,), 1.0, jnp.float32)
+        assembled = voxelize_batch_sliced(
+            coords, weights, radii_v, mask, None, keys, 0.0,
+            spec=spec, slab_depth=slab, density_type="gaussian", sigma=0.5,
+            out_dtype="bfloat16",
+        )
+        probe_off = 2 * slab
+        direct = _run(coords, weights, mask, spec, impl="pallas",
+                      d_offset=probe_off, d_count=slab, out_dtype="bfloat16")
+        err = np.abs(
+            assembled[:, :, probe_off : probe_off + slab].astype(np.float32)
+            - direct.astype(np.float32)
+        ).max()
+        record("dim256_full_assembly", err, 0.0)
 
     return results
 
