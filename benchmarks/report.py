@@ -149,6 +149,45 @@ def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=Non
     return max(per, 1e-9)
 
 
+def measure_backward(coords, feats, dim, batch):
+    """(fwd_us, bwd_us) per molecule for the Pallas forward + backward kernels."""
+    from molvoxel_tpu.ops.pallas_deposit import (
+        voxelize_pallas_batch,
+        voxelize_pallas_bwd_batch,
+    )
+
+    spec = GridSpec(0.5, dim)
+    bc, bw, mask, vp = pad_batch(coords, feats, batch)
+    radii = jnp.ones((vp,), jnp.float32)
+    ct = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, feats.shape[1], dim, dim, dim)).astype(np.float32)
+    )
+
+    def run_one(fn):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(key, n):
+            def body(i, acc):
+                noise = jax.random.uniform(jax.random.fold_in(key, i), (1, 1, 3), jnp.float32) * 1e-4
+                out = fn(bc + noise)
+                return acc + sum(jnp.sum(o[:1].astype(jnp.float32)) for o in jax.tree.leaves(out)) * 1e-6
+            return jax.lax.fori_loop(0, n, body, 0.0)
+
+        def run(n):
+            t0 = time.time()
+            float(loop(jax.random.PRNGKey(n), n))
+            return time.time() - t0
+
+        run(1)
+        run(9)
+        base = min(run(1) for _ in range(3))
+        best = min(run(9) for _ in range(3))
+        return max((best - base) / (8 * batch), 1e-9)
+
+    fwd = run_one(lambda c: voxelize_pallas_batch(c, bw, radii, spec=spec, mask=mask))
+    bwd = run_one(lambda c: voxelize_pallas_bwd_batch(c, bw, radii, ct, spec=spec, mask=mask))
+    return fwd * 1e6, bwd * 1e6
+
+
 def measure_stream(path: str, extra: tuple = ()) -> dict:
     """End-to-end stream-from-disk row via the CLI machinery (wire format)."""
     from molvoxel_tpu.cli import main as cli_main
@@ -230,6 +269,21 @@ def main():
     print(f"{'ligand 64^3 x4ch':38s} {'gaussian full-read':18s} "
           f"{per_full*1e6:9.1f} us/mol ({1.0/per_full:,.0f} mols/s)", flush=True)
 
+    # backward (gradient deposit) rows: the Pallas VJP kernel, ligand +
+    # protein scale — the reference has no backward at all (@no_grad)
+    bwd_rows = []
+    for bname in ("ligand 64^3 x4ch", "protein 48^3 x4ch (3.3k atoms)",
+                  "protein 128^3 x4ch (3.3k atoms)"):
+        brow = next(r for r in load_cases() if r[0] == bname)
+        try:
+            fwd_us, bwd_us = measure_backward(brow[1].astype(np.float32), brow[2], brow[3],
+                                              min(brow[4], 8))
+            bwd_rows.append((bname, fwd_us, bwd_us))
+            print(f"{bname:38s} backward {bwd_us:9.1f} us/mol (fwd {fwd_us:.1f}, "
+                  f"{bwd_us/fwd_us:.2f}x)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{bname} backward FAILED: {str(e)[:100]}", flush=True)
+
     stream_row = None
     if stream_path:
         stream_row = measure_stream(stream_path)
@@ -273,6 +327,17 @@ def main():
         f"{1.0/per_full:,.0f} |",
         "",
     ]
+    if bwd_rows:
+        lines += [
+            "Backward (gradient deposit — dL/dcoords, dL/dweights, dL/dradii via the",
+            "Pallas VJP kernel; the reference is forward-only/@no_grad):",
+            "",
+            "| workload | forward us/mol | backward us/mol | ratio |",
+            "|---|---:|---:|---:|",
+        ]
+        for bname, fwd_us, bwd_us in bwd_rows:
+            lines.append(f"| {bname} | {fwd_us:.1f} | {bwd_us:.1f} | {bwd_us/fwd_us:.2f}x |")
+        lines.append("")
     if stream_row:
         lines += [
             f"Stream-from-disk end to end ({stream_row['molecules']:,} molecules, "

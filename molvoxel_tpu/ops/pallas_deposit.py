@@ -138,11 +138,13 @@ def pallas_bwd_supported(spec: GridSpec, num_channels: int, d_count: int | None 
         return False
     cp = round_up(max(num_channels, 1), 8)
     dl = dim if d_count is None else d_count
-    while hwt > 128 and cp * dl * hwt * 4 > _OUT_BUDGET:
+    while hwt > 128 and 2 * cp * dl * hwt * 4 > _OUT_BUDGET:
         if (hwt // 2) % dim == 0 and ((hwt // 2) // dim) % 8 == 0:
             hwt //= 2
         else:
             break
+    # the ct block double-buffers (2x) and must leave room for the (hwt, a)
+    # working arrays — mirror voxelize_pallas_bwd_batch's budget exactly
     return cp * dl * hwt * 4 <= _OUT_BUDGET
 
 
@@ -944,9 +946,12 @@ def _kernel_v5_bwd(range_ref, atom_ref, wt_ref, ct_ref, gw_ref, gc_ref, *,
         dz2 = (az - z) * (az - z)  # (W, A)
         dyz2 = (dy2[:, None, :] + dz2[None, :, :]).reshape(hwt, a)
         wt = wt_ref[0]  # (cp, A)
-        # voxel-position weight columns over the tile, for the moment sums
-        wy = jnp.broadcast_to(ay, (hrows, dim)).reshape(hwt, 1)
-        wz = jnp.broadcast_to(az.reshape(1, dim), (hrows, dim)).reshape(hwt, 1)
+        # voxel-position weight columns over the tile, for the moment sums —
+        # built from a flat (hwt, 1) iota via div/mod (a (hrows, dim) ->
+        # (hwt, 1) reshape is an unsupported Mosaic shape cast)
+        flat = jax.lax.broadcasted_iota(jnp.int32, (hwt, 1), 0)
+        wy = ((flat // dim) + ht * hrows).astype(jnp.float32) * res - half_width
+        wz = (flat % dim).astype(jnp.float32) * res - half_width
         if gaussian:
             ey = jnp.exp(dy2 * coef)
             ez = jnp.exp(dz2 * coef)
@@ -957,7 +962,11 @@ def _kernel_v5_bwd(range_ref, atom_ref, wt_ref, ct_ref, gw_ref, gc_ref, *,
             dxv = (d.astype(jnp.float32) * res - half_width) - x  # (1, A)
             dx2v = dxv * dxv
             th = r2th - dx2v
-            ct = ct_ref[0, :, pl.ds(d, 1), :].reshape(cp, hwt)  # (cp, hwt)
+            # ct block is depth-leading (1, dl, cp, hwt): the plane slice
+            # drops a LEADING singleton, preserving the (cp, hwt) tile layout
+            # (a middle-singleton reshape of (cp, 1, hwt) is an unsupported
+            # Mosaic shape cast — caught on-device r4)
+            ct = ct_ref[0, pl.ds(d, 1), :, :].reshape(cp, hwt)  # (cp, hwt)
             if gaussian:
                 fyz = jnp.where(dyz2 <= th, eyz, 0.0)  # (hwt, A)
             else:
@@ -1081,16 +1090,23 @@ def voxelize_pallas_bwd_batch(
     ct = cotangent.astype(jnp.float32).reshape(b, c, dl, hw)
     if cp != c:
         ct = jnp.pad(ct, ((0, 0), (0, cp - c), (0, 0), (0, 0)))
+    ct = jnp.swapaxes(ct, 1, 2)  # (B, Dl, Cp, HW): depth-leading for the kernel
 
-    # VMEM: the whole (cp, dl, hwt) cotangent tile must fit next to the tiles
-    while hwt > 128 and cp * dl * hwt * 4 > _OUT_BUDGET:
+    # VMEM: the whole (dl, cp, hwt) cotangent tile must fit next to the
+    # working tiles — and it is DOUBLE-BUFFERED (the ct block changes every
+    # ht grid step), so it counts twice.  The atom chunk then shrinks to fit
+    # the ~4 (hwt, a) working arrays (dyz2/eyz/T/Q) beside it — the 128^3
+    # protein config OOM'd scoped VMEM (18.04M > 16M) with the single-count
+    # budget (caught on-device r4).
+    while hwt > 128 and 2 * cp * dl * hwt * 4 > _OUT_BUDGET:
         if (hwt // 2) % dim == 0 and ((hwt // 2) // dim) % 8 == 0:
             hwt //= 2
         else:
             break
-    if cp * dl * hwt * 4 > _OUT_BUDGET:
+    ct_bytes = cp * dl * hwt * 4
+    if 2 * ct_bytes > 2 * _OUT_BUDGET:
         raise ValueError("cotangent tile exceeds the VMEM budget (use the dense backward)")
-    a = _atom_chunk(vpp, hwt, cp * dl * hwt * 4, streams=1)
+    a = _atom_chunk(vpp, hwt, 2 * ct_bytes, streams=4)
     nvc = vpp // a
     nhwt = hw // hwt
     hrows = hwt // dim
@@ -1103,7 +1119,7 @@ def voxelize_pallas_bwd_batch(
     )
     atom_spec = pl.BlockSpec((1, 8, a), lambda bb, vc, ht: (bb, 0, vc), memory_space=pltpu.VMEM)
     wt_spec = pl.BlockSpec((1, cp, a), lambda bb, vc, ht: (bb, 0, vc), memory_space=pltpu.VMEM)
-    ct_spec = pl.BlockSpec((1, cp, dl, hwt), lambda bb, vc, ht: (bb, 0, 0, ht), memory_space=pltpu.VMEM)
+    ct_spec = pl.BlockSpec((1, dl, cp, hwt), lambda bb, vc, ht: (bb, 0, 0, ht), memory_space=pltpu.VMEM)
     gw_spec = pl.BlockSpec((1, cp, a), lambda bb, vc, ht: (bb, 0, vc), memory_space=pltpu.VMEM)
     gc_spec = pl.BlockSpec((1, 8, a), lambda bb, vc, ht: (bb, 0, vc), memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
