@@ -335,6 +335,7 @@ def _run_throughput(args, spec, paths, symbols) -> int:
             random_translation=args.random_translation,
             random_rotation=args.random_rotation, out_dtype=args.out_dtype,
             seed=seed, presorted=args.presort, wire=args.wire,
+            witness=not args.full_read,
         )
         return stats, time.time() - t0, checksum
 
@@ -435,6 +436,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="--throughput: ship superbatches as ONE int16 fixed-point array (~0.5 mÅ) "
         "staged from a prefetch thread (8 B/atom, 1 transfer instead of 3)",
+    )
+    pv.add_argument(
+        "--full-read",
+        action="store_true",
+        help="--throughput: consume every grid with a full on-device sum instead of the "
+        "witness read — bills an extra HBM re-read of all grids (the pre-r4 protocol)",
     )
 
     sub.add_parser("bench", help="run the headline benchmark")

@@ -233,6 +233,7 @@ class StreamingVoxelizer:
     static_argnames=(
         "chunk", "num_channels", "radii_value", "radii_by_type", "random_translation",
         "spec", "density_type", "sigma", "random_rotation", "out_dtype", "impl", "presorted",
+        "witness",
     ),
 )
 def _fused_scan_step(
@@ -254,6 +255,7 @@ def _fused_scan_step(
     impl: str = "auto",
     presorted: bool = False,
     radii_by_type: tuple | None = None,
+    witness: bool = False,
 ):
     """One dispatch for a whole superbatch: scan chunks, return ONE checksum.
 
@@ -272,7 +274,7 @@ def _fused_scan_step(
         chunk=chunk, num_channels=num_channels, radii_value=radii_value,
         random_translation=random_translation, spec=spec, density_type=density_type,
         sigma=sigma, random_rotation=random_rotation, out_dtype=out_dtype,
-        impl=impl, presorted=presorted, radii_by_type=radii_by_type,
+        impl=impl, presorted=presorted, radii_by_type=radii_by_type, witness=witness,
     )
 
 
@@ -280,7 +282,7 @@ def _scan_chunks(
     coords, types, centers, key, step, *,
     chunk, num_channels, radii_value, random_translation, spec,
     density_type, sigma, random_rotation, out_dtype, impl, presorted,
-    radii_by_type=None,
+    radii_by_type=None, witness=False,
 ):
     b, vp = types.shape
     k = b // chunk
@@ -312,7 +314,12 @@ def _scan_chunks(
             random_rotation=random_rotation, impl=impl, radii_batched=batched,
             materialize=True, out_dtype=out_dtype, presorted=presorted,
         )
-        return acc + jnp.sum(out.astype(jnp.float32)), None
+        # consumer: full sum (integrity checksums) or the witness read (one
+        # molecule's complete grid per chunk — the honest producer protocol,
+        # docs/DESIGN.md 3c; grids still fully materialize, but the
+        # measurement does not bill an HBM re-read of every grid)
+        consumed = out[:1] if witness else out
+        return acc + jnp.sum(consumed.astype(jnp.float32)), None
 
     xs = (jnp.arange(k), coords, types) + (() if centers is None else (centers,))
     acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
@@ -324,7 +331,7 @@ def _scan_chunks(
     static_argnames=(
         "chunk", "num_channels", "radii_value", "radii_by_type", "random_translation",
         "spec", "density_type", "sigma", "random_rotation", "out_dtype", "impl",
-        "presorted", "inv_scale",
+        "presorted", "inv_scale", "witness",
     ),
 )
 def _fused_scan_step_wire(
@@ -345,6 +352,7 @@ def _fused_scan_step_wire(
     presorted: bool = False,
     inv_scale: float = 1.0 / 1024.0,
     radii_by_type: tuple | None = None,
+    witness: bool = False,
 ):
     """Wire-format superbatch step: ONE int16 array on the wire.
 
@@ -363,7 +371,7 @@ def _fused_scan_step_wire(
         chunk=chunk, num_channels=num_channels, radii_value=radii_value,
         random_translation=random_translation, spec=spec, density_type=density_type,
         sigma=sigma, random_rotation=random_rotation, out_dtype=out_dtype,
-        impl=impl, presorted=presorted, radii_by_type=radii_by_type,
+        impl=impl, presorted=presorted, radii_by_type=radii_by_type, witness=witness,
     )
 
 
@@ -383,6 +391,7 @@ def stream_checksum(
     seed: int = 0,
     presorted: bool = False,
     wire: bool = False,
+    witness: bool = False,
 ) -> tuple[StreamStats, float]:
     """Drive compact superbatches through the fused step; return a checksum.
 
@@ -395,6 +404,13 @@ def stream_checksum(
     ``presorted``: the batches arrived Morton-sorted on the host
     (SDFBatchFeeder(presort=True) / data.feed.morton_presort) — skips the
     in-graph argsort for the >128-atom regime entirely.
+
+    ``witness``: consume each chunk via the witness read (sum of one
+    molecule's complete grid) instead of the full-grid sum — the headline
+    protocol (docs/DESIGN.md 3c).  Grids still fully materialize; the full
+    sum bills an extra HBM re-read of every grid (~2.6 us/mol at 64^3) that
+    a real training consumer would replace with its own loss.  Integrity
+    comparisons keep the default full checksum.
 
     ``wire``: pack each superbatch into ONE (B, Vp, 4) int16 fixed-point
     array (data/feed.py pack_wire, ~0.5 mÅ quantization) and stage its
@@ -442,6 +458,7 @@ def stream_checksum(
                     random_rotation=random_rotation, out_dtype=out_dtype,
                     impl=impl, presorted=presorted, inv_scale=1.0 / scale,
                     radii_by_type=None if radii_by_type is None else tuple(radii_by_type),
+                    witness=witness,
                 )
             )
             stats.batches += 1
@@ -477,6 +494,7 @@ def stream_checksum(
                 impl=impl,
                 presorted=presorted,
                 radii_by_type=None if radii_by_type is None else tuple(radii_by_type),
+                witness=witness,
             )
         )
         stats.batches += 1
