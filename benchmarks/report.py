@@ -150,12 +150,14 @@ def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=Non
 
 
 def measure_backward(coords, feats, dim, batch):
-    """(fwd_us, bwd_us) per molecule for the Pallas forward + backward kernels."""
-    from molvoxel_tpu.ops.pallas_deposit import (
-        voxelize_pallas_batch,
-        voxelize_pallas_bwd_batch,
-    )
+    """(fwd_us, step_us) per molecule: forward-only vs forward+gradient step.
 
+    Both run the PRODUCTION batch path (ops/batch.py -> batched custom_vjp
+    -> Pallas backward kernel) under the same augmented-loop harness as
+    measure(): random rotation per iteration, witness consumer on the
+    forward; the gradient step's loss reads the grids against a resident
+    cotangent (what a real training loss does) and returns per-atom grads
+    for coords/weights/radii."""
     spec = GridSpec(0.5, dim)
     bc, bw, mask, vp = pad_batch(coords, feats, batch)
     radii = jnp.ones((vp,), jnp.float32)
@@ -163,13 +165,28 @@ def measure_backward(coords, feats, dim, batch):
         np.random.default_rng(0).normal(size=(batch, feats.shape[1], dim, dim, dim)).astype(np.float32)
     )
 
-    def run_one(fn):
+    def run_one(grad: bool):
+        def loss(crd, w, r, keys):
+            out = voxelize_batch(crd, w, r, mask, None, keys, 0.5,
+                                 spec=spec, density_type="gaussian", sigma=0.5,
+                                 random_rotation=True, impl="pallas",
+                                 materialize=True)
+            return jnp.sum(out * ct)
+
+        vg = jax.value_and_grad(loss, argnums=(0, 1, 2))
+
         @functools.partial(jax.jit, static_argnames=("n",))
         def loop(key, n):
             def body(i, acc):
-                noise = jax.random.uniform(jax.random.fold_in(key, i), (1, 1, 3), jnp.float32) * 1e-4
-                out = fn(bc + noise)
-                return acc + sum(jnp.sum(o[:1].astype(jnp.float32)) for o in jax.tree.leaves(out)) * 1e-6
+                keys = jax.random.split(jax.random.fold_in(key, i), batch)
+                if grad:
+                    val, grads = vg(bc, bw, radii, keys)
+                    return acc + (val + sum(jnp.sum(g) for g in grads)) * 1e-6
+                out = voxelize_batch(bc, bw, radii, mask, None, keys, 0.5,
+                                     spec=spec, density_type="gaussian", sigma=0.5,
+                                     random_rotation=True, impl="pallas",
+                                     materialize=True)
+                return acc + jnp.sum(out[:1].astype(jnp.float32)) * 1e-6
             return jax.lax.fori_loop(0, n, body, 0.0)
 
         def run(n):
@@ -183,9 +200,9 @@ def measure_backward(coords, feats, dim, batch):
         best = min(run(9) for _ in range(3))
         return max((best - base) / (8 * batch), 1e-9)
 
-    fwd = run_one(lambda c: voxelize_pallas_batch(c, bw, radii, spec=spec, mask=mask))
-    bwd = run_one(lambda c: voxelize_pallas_bwd_batch(c, bw, radii, ct, spec=spec, mask=mask))
-    return fwd * 1e6, bwd * 1e6
+    fwd = run_one(False)
+    step = run_one(True)
+    return fwd * 1e6, step * 1e6
 
 
 def measure_stream(path: str, extra: tuple = ()) -> dict:
@@ -276,11 +293,11 @@ def main():
                   "protein 128^3 x4ch (3.3k atoms)"):
         brow = next(r for r in load_cases() if r[0] == bname)
         try:
-            fwd_us, bwd_us = measure_backward(brow[1].astype(np.float32), brow[2], brow[3],
-                                              min(brow[4], 8))
-            bwd_rows.append((bname, fwd_us, bwd_us))
-            print(f"{bname:38s} backward {bwd_us:9.1f} us/mol (fwd {fwd_us:.1f}, "
-                  f"{bwd_us/fwd_us:.2f}x)", flush=True)
+            fwd_us, step_us = measure_backward(brow[1].astype(np.float32), brow[2], brow[3],
+                                               min(brow[4], 8))
+            bwd_rows.append((bname, fwd_us, step_us))
+            print(f"{bname:38s} fwd+grad step {step_us:9.1f} us/mol (fwd {fwd_us:.1f}, "
+                  f"{step_us/fwd_us:.2f}x)", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"{bname} backward FAILED: {str(e)[:100]}", flush=True)
 
@@ -329,14 +346,16 @@ def main():
     ]
     if bwd_rows:
         lines += [
-            "Backward (gradient deposit — dL/dcoords, dL/dweights, dL/dradii via the",
-            "Pallas VJP kernel; the reference is forward-only/@no_grad):",
+            "Differentiable deposit (the reference is forward-only/@no_grad): a full",
+            "training step — forward + loss-vs-resident-cotangent + dL/dcoords,",
+            "dL/dweights, dL/dradii through the Pallas backward kernel — vs the",
+            "forward-only producer rate, same augmented batch-path harness:",
             "",
-            "| workload | forward us/mol | backward us/mol | ratio |",
+            "| workload | forward us/mol | fwd+grad step us/mol | step/fwd |",
             "|---|---:|---:|---:|",
         ]
-        for bname, fwd_us, bwd_us in bwd_rows:
-            lines.append(f"| {bname} | {fwd_us:.1f} | {bwd_us:.1f} | {bwd_us/fwd_us:.2f}x |")
+        for bname, fwd_us, step_us in bwd_rows:
+            lines.append(f"| {bname} | {fwd_us:.1f} | {step_us:.1f} | {step_us/fwd_us:.2f}x |")
         lines.append("")
     if stream_row:
         lines += [
@@ -359,6 +378,26 @@ def main():
         "Reference comparison (same host, 10gs ligand 64^3 x 4ch gaussian): the",
         "reference numpy backend measures ~142 mols/s with its default (buggy)",
         "block binning and ~0.8 mols/s on its exact single-block path.",
+        "",
+        "Reference-protocol replica (benchmarks/ref_protocol.py — the reference's",
+        "own timing script shape: dim 48, 10gs complex ~6.6k pts, batch 16 x 25",
+        "iter x 5 trials, SYNCHRONOUS per-iteration host readback of all 16 full",
+        "f32 grids; measured r4 on this host):",
+        "",
+        "| mode | reference numpy ms/vox | molvoxel_tpu per-call | molvoxel_tpu batched |",
+        "|---|---:|---:|---:|",
+        "| single | 10.09 | 35.82 | 24.43 |",
+        "| types | 15.34 | 113.57 | 87.49 |",
+        "| features | 11.94 | 92.26 | 88.07 |",
+        "",
+        "This row measures the deployment topology, not the chip: each iteration",
+        "fetches 56 MB of grids through the axon tunnel (~40 MB/s effective), so",
+        "the synchronous-readback protocol is tunnel-bound — the device produces",
+        "the same complex grids at ~76 us/mol (table above), ~1000x faster than",
+        "this protocol can read them back, and batched-vs-per-call barely differ.",
+        "On co-located hardware (TPU-VM PCIe) the same readback is >100x faster.",
+        "Pipelines that keep grids on-device (training, gridstore, stream) are",
+        "unaffected; they are the supported high-throughput surfaces.",
         "",
     ]
     out.write_text("\n".join(lines))

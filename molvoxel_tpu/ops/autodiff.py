@@ -91,3 +91,78 @@ def _bwd(spec, density_type, sigma, channelwise, d_count, residuals, g):
 
 
 voxelize_pallas_ad.defvjp(_fwd, _bwd)
+
+# ------------------------------------------------------------ batched variant
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def voxelize_pallas_batch_ad(
+    coords: jnp.ndarray,  # (B, Vp, 3)
+    weights: jnp.ndarray,  # (B, Vp, C)
+    radii: jnp.ndarray,  # (Vp,), (C,) channelwise, or (B, Vp)
+    mask: jnp.ndarray | None,
+    d_offset,
+    spec: GridSpec,
+    density_type: str,
+    sigma: float,
+    channelwise: bool,
+    d_count: int | None,
+    out_dtype: str,
+    presorted: bool,
+) -> jnp.ndarray:
+    """Batched Pallas forward with the kernel backward — the training path.
+
+    ops/batch.py routes its pallas branch through this wrapper so jax.grad
+    of a batched voxelization (e.g. a training step over augmented molecule
+    batches) runs BOTH directions at kernel speed; without it the batched
+    pallas_call is forward-only and grad raises."""
+    from .pallas_deposit import voxelize_pallas_batch, voxelize_pallas_batch_channelwise
+
+    fn = voxelize_pallas_batch_channelwise if channelwise else voxelize_pallas_batch
+    return fn(
+        coords, weights, radii, spec=spec, density_type=density_type, sigma=sigma, mask=mask,
+        d_offset=d_offset, d_count=d_count, out_dtype=out_dtype, presorted=presorted,
+    )
+
+
+def _fwd_batch(coords, weights, radii, mask, d_offset, spec, density_type, sigma, channelwise,
+               d_count, out_dtype, presorted):
+    out = voxelize_pallas_batch_ad(
+        coords, weights, radii, mask, d_offset, spec, density_type, sigma, channelwise,
+        d_count, out_dtype, presorted,
+    )
+    return out, (coords, weights, radii, mask, d_offset)
+
+
+def _bwd_batch(spec, density_type, sigma, channelwise, d_count, out_dtype, presorted,
+               residuals, g):
+    coords, weights, radii, mask, d_offset = residuals
+    from .pallas_deposit import pallas_bwd_supported, voxelize_pallas_bwd_batch
+
+    if not channelwise and pallas_bwd_supported(spec, weights.shape[2], d_count):
+        dc, dw, dr = voxelize_pallas_bwd_batch(
+            coords, weights, radii, g, spec=spec, density_type=density_type, sigma=sigma,
+            mask=mask, d_offset=d_offset, d_count=d_count, presorted=presorted,
+        )
+        return dc.astype(coords.dtype), dw.astype(weights.dtype), dr.astype(radii.dtype), None, None
+
+    # dense replay fallback (channelwise / non-row-tileable grids)
+    dense = voxelize_dense_channelwise if channelwise else voxelize_dense
+    mask_ax = None if mask is None else 0
+    radii_ax = 0 if (not channelwise and radii.ndim == 2) else None
+
+    def f(c, w, r):
+        single = functools.partial(
+            dense, spec=spec, density_type=density_type, sigma=sigma,
+            d_offset=d_offset, d_count=d_count,
+        )
+        return jax.vmap(
+            lambda crd, ww, rr, m: single(crd, ww, rr, mask=m), in_axes=(0, 0, radii_ax, mask_ax)
+        )(c, w, r, mask)
+
+    _, vjp = jax.vjp(f, coords, weights, radii)
+    dc, dw, dr = vjp(g.astype(jnp.float32))
+    return dc, dw, dr, None, None
+
+
+voxelize_pallas_batch_ad.defvjp(_fwd_batch, _bwd_batch)

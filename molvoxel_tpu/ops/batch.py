@@ -136,19 +136,26 @@ def voxelize_batch(
         return voxelize_separable_batch(coords, weights, radii, **kw)
 
     if impl == "pallas":
-        from .pallas_deposit import voxelize_pallas_batch, voxelize_pallas_batch_channelwise
+        # custom_vjp wrapper: batched pallas forward + the kernel backward,
+        # so jax.grad of a batched (training) step works at kernel speed
+        from .autodiff import voxelize_pallas_batch_ad
 
-        kw = dict(spec=spec, density_type=density_type, sigma=sigma, mask=mask, d_offset=d_offset,
-                  d_count=d_count, out_dtype=out_dtype)
+        def run_ad(crd, w, r, *, mask, presorted):
+            return voxelize_pallas_batch_ad(
+                crd, w, r, mask, d_offset, spec, density_type, sigma, channelwise,
+                d_count, out_dtype, presorted,
+            )
+
         if channelwise:
             # channel expansion onto the v5 atom-wise kernel (pallas_deposit)
-            return voxelize_pallas_batch_channelwise(coords, weights, radii, **kw, presorted=presorted)
-        kw["presorted"] = presorted
+            return run_ad(coords, weights, radii, mask=mask, presorted=presorted)
         pack = _choose_pack(coords.shape[1], weights.shape[2])
         if pack > 1:
-            fn = functools.partial(voxelize_pallas_batch, **kw_nomask(kw))
+            def fn(crd, w, r, mask=None):
+                return run_ad(crd, w, r, mask=mask, presorted=presorted)
+
             return _packed_batch(fn, coords, weights, radii, mask, pack)
-        return voxelize_pallas_batch(coords, weights, radii, **kw)
+        return run_ad(coords, weights, radii, mask=mask, presorted=presorted)
 
     fn = voxelize_dense_channelwise if channelwise else voxelize_dense
     single = functools.partial(

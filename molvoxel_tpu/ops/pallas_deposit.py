@@ -1008,7 +1008,7 @@ def _kernel_v5_bwd(range_ref, atom_ref, wt_ref, ct_ref, gw_ref, gc_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count")
+    jax.jit, static_argnames=("spec", "density_type", "sigma", "d_count", "presorted")
 )
 def voxelize_pallas_bwd_batch(
     coords: jnp.ndarray,  # (B, Vp, 3)
@@ -1022,11 +1022,14 @@ def voxelize_pallas_bwd_batch(
     mask: jnp.ndarray | None = None,
     d_offset=0,
     d_count: int | None = None,
+    presorted: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Kernel-speed VJP of voxelize_pallas_batch -> (dcoords, dweights, dradii).
 
     Shares the forward's spatial sort (same Morton keys -> same permutation;
-    gradients are scattered back through the inverse), plane ranges, and
+    gradients are scattered back through the inverse; ``presorted`` skips
+    both when the caller's atoms are already Morton-ordered — the in-graph
+    bitonic argsort is expensive at protein scale), plane ranges, and
     tiling.  dradii comes back with the radii's own shape ((Vp,) shared
     radii get the batch-sum).  Binary density returns zero dcoords/dradii
     (indicator: gradient zero almost everywhere, matching jnp.where autodiff
@@ -1048,7 +1051,7 @@ def voxelize_pallas_bwd_batch(
     vpp = vp + vpad
 
     # same deterministic order as the forward's _sort_atoms_spatially
-    if vpp > 128:
+    if vpp > 128 and not presorted:
         key = morton_keys(coords, spec, mask)
         order = jnp.argsort(key, axis=1)  # (B, Vpp) stable
         take2 = lambda arr: jnp.take_along_axis(arr, order, axis=1)

@@ -277,3 +277,63 @@ def test_pallas_backward_depth_slab(rng):
     np.testing.assert_allclose(np.asarray(dc[0]), np.asarray(ec), atol=2e-4)
     np.testing.assert_allclose(np.asarray(dw[0]), np.asarray(ew), atol=2e-4)
     np.testing.assert_allclose(np.asarray(dr), np.asarray(er), atol=2e-4)
+
+
+def test_batched_pallas_grad(rng):
+    """jax.grad through the BATCHED pallas path (the training-step shape)
+    runs the kernel backward and matches the dense-path batched VJP."""
+    import molvoxel_tpu.ops.batch as ob
+
+    b, vp, v, c = 2, 128, 20, 3
+    coords = np.zeros((b, vp, 3), np.float32)
+    coords[:, :v] = rng.uniform(-2.5, 2.5, (b, v, 3))
+    weights = np.zeros((b, vp, c), np.float32)
+    weights[:, :v] = rng.uniform(size=(b, v, c))
+    mask = np.zeros((b, vp), bool)
+    mask[:, :v] = True
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    target = jnp.asarray(rng.normal(size=(b, c, 16, 16, 16)).astype(np.float32))
+
+    def loss(impl):
+        def f(crd, w, r):
+            out = ob.voxelize_batch(
+                crd, w, r, jnp.asarray(mask), None, keys, 0.0,
+                spec=SPEC16, density_type="gaussian", sigma=0.5, impl=impl,
+            )
+            return jnp.sum(out * target)
+
+        return f
+
+    args = (jnp.asarray(coords), jnp.asarray(weights), jnp.ones((vp,), jnp.float32))
+    for argnum in (0, 1, 2):
+        gp = np.asarray(jax.grad(loss("pallas"), argnums=argnum)(*args))
+        gd = np.asarray(jax.grad(loss("dense"), argnums=argnum)(*args))
+        np.testing.assert_allclose(gp, gd, atol=3e-4, err_msg=f"argnum={argnum}")
+
+
+def test_batched_pallas_grad_protein_scale(rng):
+    """Multi-chunk batched grad (V=512, pre-sorted path through batch.py)."""
+    import molvoxel_tpu.ops.batch as ob
+
+    b, vp, v, c = 1, 512, 400, 2
+    coords = jnp.asarray(rng.uniform(-3.5, 3.5, (b, vp, 3)).astype(np.float32))
+    weights = jnp.asarray(rng.uniform(0.1, 1.0, (b, vp, c)).astype(np.float32))
+    mask = jnp.asarray(np.arange(vp)[None] < v)
+    keys = jax.random.split(jax.random.PRNGKey(1), b)
+    target = jnp.asarray(rng.normal(size=(b, c, 16, 16, 16)).astype(np.float32))
+
+    def loss(impl):
+        def f(crd, w, r):
+            out = ob.voxelize_batch(
+                crd, w, r, mask, None, keys, 0.0,
+                spec=SPEC16, density_type="gaussian", sigma=0.5, impl=impl,
+            )
+            return jnp.sum(out * target)
+
+        return f
+
+    args = (coords, weights, jnp.ones((vp,), jnp.float32))
+    for argnum in (0, 1, 2):
+        gp = np.asarray(jax.grad(loss("pallas"), argnums=argnum)(*args))
+        gd = np.asarray(jax.grad(loss("dense"), argnums=argnum)(*args))
+        np.testing.assert_allclose(gp, gd, atol=6e-4, err_msg=f"argnum={argnum}")
