@@ -53,6 +53,7 @@ class GridShardWriter:
         dimension: int,
         target_bytes: int = 64 << 20,
         extra_manifest: dict | None = None,
+        resume: bool = False,
     ):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
@@ -63,6 +64,7 @@ class GridShardWriter:
         # e.g. {"process_index": k, "num_processes": n} for per-host shards
         # of a multi-process stream (parallel/stream.py stream_dp_multiprocess)
         self.extra_manifest = dict(extra_manifest or {})
+        self._resume = bool(resume)
         self._buf: list[np.ndarray] = []
         self._buf_bytes = 0
         self._atoms: list[np.ndarray] = []
@@ -71,6 +73,36 @@ class GridShardWriter:
         self._dtype: str | None = None
         self._grid_shape: list[int] | None = None
         self._finalized = False
+        if resume:
+            self._load_existing()
+
+    def _load_existing(self) -> None:
+        """Adopt a prior (possibly interrupted) run's flushed shards.
+
+        Every flush writes a provisional manifest (``final: false``), so a
+        crashed run leaves a valid prefix on disk; a resumed writer keeps
+        those shards and continues appending after them.  Only FLUSHED rows
+        survive a crash — rows still buffered in the dead process are gone,
+        and the resuming driver must re-feed everything past ``rows``."""
+        mp = self.root / _MANIFEST
+        if not mp.exists():
+            return
+        m = json.loads(mp.read_text())
+        if m.get("format") != "molvoxel-tpu-gridstore-v1":
+            return
+        self._shards = [dict(x) for x in m.get("shards", [])]
+        self._rows = sum(int(x["count"]) for x in self._shards)
+        self._dtype = m.get("dtype")
+        self._grid_shape = m.get("grid_shape")
+        na = self.root / "num_atoms.npy"
+        if na.exists():
+            atoms = np.load(na)
+            self._atoms = [np.asarray(atoms[: self._rows], np.int32)]
+
+    @property
+    def rows(self) -> int:
+        """Rows durably flushed to shards (resume skip count)."""
+        return self._rows
 
     # -- context manager: guarantees a valid manifest even without finalize
     def __enter__(self) -> "GridShardWriter":
@@ -112,6 +144,11 @@ class GridShardWriter:
         np.save(self.root / fname, arr)
         self._shards.append({"file": fname, "count": int(arr.shape[0])})
         self._rows += int(arr.shape[0])
+        if limit is None:
+            # provisional manifest: a crash after this point can resume from
+            # the flushed prefix (the atom counts flush alongside)
+            np.save(self.root / "num_atoms.npy", np.concatenate(self._atoms)[: self._rows])
+            self._write_manifest(self._rows, final=False)
 
     def finalize(self, num_molecules: int) -> None:
         """Flush the tail, trim virtual padding, write the manifest."""
@@ -122,6 +159,12 @@ class GridShardWriter:
             else np.zeros((0,), np.int32)
         )
         np.save(self.root / "num_atoms.npy", atoms)
+        self._write_manifest(num_molecules, final=True)
+        self._atoms = [atoms]
+        self._rows = int(min(num_molecules, self._rows))
+        self._finalized = True
+
+    def _write_manifest(self, num_molecules: int, *, final: bool) -> None:
         manifest = {
             "format": "molvoxel-tpu-gridstore-v1",
             "num_molecules": int(min(num_molecules, self._rows)),
@@ -131,12 +174,12 @@ class GridShardWriter:
             "resolution": self.resolution,
             "dimension": self.dimension,
             "channels": self.channels,
+            "final": bool(final),
             **self.extra_manifest,
         }
-        (self.root / _MANIFEST).write_text(json.dumps(manifest, indent=1))
-        self._atoms = [atoms]
-        self._rows = int(manifest["num_molecules"])
-        self._finalized = True
+        tmp = self.root / (_MANIFEST + ".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        tmp.replace(self.root / _MANIFEST)
 
 
 class GridShardReader:

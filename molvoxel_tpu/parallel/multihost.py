@@ -29,6 +29,7 @@ same code runs on one chip, a virtual CPU mesh, or a pod.
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Sequence
@@ -53,9 +54,6 @@ def globalize_batch(mesh: Mesh, arr: np.ndarray) -> jax.Array:
     return jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(DATA_AXIS)), np.ascontiguousarray(arr)
     )
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=8)
@@ -99,6 +97,8 @@ def stream_dp_multiprocess(
     presort: bool = False,
     feeder_kwargs: dict | None = None,
     consumer=None,
+    resume: bool = False,
+    store_target_bytes: int = 64 << 20,
 ) -> StreamStats:
     """Stream an SDF library across all processes of a distributed runtime.
 
@@ -109,7 +109,15 @@ def stream_dp_multiprocess(
     (manifest carries process_index/num_processes).  ``consumer(images,
     batch)`` receives this process's rows as numpy + its PaddedBatch.
 
-    Returns this process's StreamStats (molecules = locally fed molecules).
+    ``resume=True`` (needs ``store_root``) restarts an interrupted run:
+    every flush leaves a provisional manifest, so each process skips the
+    batches its shard already holds and re-feeds the rest — crash-anywhere
+    fail-fast + restart is the job-level fault model (SURVEY.md section 5).
+    Processes may resume at different offsets; the per-step lockstep flag
+    handles the uneven tails exactly like uneven stripes.
+
+    Returns this process's StreamStats (molecules = locally fed molecules;
+    ``skipped`` = molecules already durable from the prior run).
     """
     from ..data.feed import SDFBatchFeeder
 
@@ -129,6 +137,7 @@ def stream_dp_multiprocess(
     nch = feeder.num_channels
 
     writer = None
+    resumed_rows = 0
     if store_root is not None:
         from ..data.gridstore import GridShardWriter
 
@@ -136,7 +145,14 @@ def stream_dp_multiprocess(
             Path(store_root) / f"proc-{pid:03d}", list(symbols) + (["*"] if unknown else []),
             resolution=spec.resolution, dimension=spec.dimension,
             extra_manifest={"process_index": pid, "num_processes": nproc},
+            resume=resume, target_bytes=store_target_bytes,
         )
+        if resume:
+            # flushed rows are whole batches (appends are batch-sized until
+            # the final tail); skip exactly those batches from the stripe
+            resumed_rows = writer.rows
+    elif resume:
+        raise ValueError("resume=True needs store_root (the store holds the progress)")
 
     radii_dev = jnp.full((bucket,), float(radii), jnp.float32)
     base_key = jax.random.PRNGKey(seed)
@@ -145,7 +161,14 @@ def stream_dp_multiprocess(
 
     empty = None  # lazily built all-padding batch for drained stripes
     source = iter(feeder)
-    step = 0
+    skip_batches = resumed_rows // batch_size
+    for _ in range(skip_batches):
+        if next(source, None) is None:
+            break
+    stats.skipped = resumed_rows
+    # start the step counter past the skipped batches so the per-step PRNG
+    # schedule matches the uninterrupted run (resume-stable augmentation)
+    step = skip_batches
     while True:
         batch = next(source, None)
         has = batch is not None
@@ -195,6 +218,6 @@ def stream_dp_multiprocess(
         step += 1
 
     if writer is not None:
-        writer.finalize(stats.molecules)
+        writer.finalize(resumed_rows + stats.molecules)
     stats.wall_seconds = time.time() - t0
     return stats

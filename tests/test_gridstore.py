@@ -83,3 +83,36 @@ class TestGridStore:
             w.finalize(0)
         grids, manifest = read_grid_shards(root)
         assert manifest["num_molecules"] == 0 and grids.shape[0] == 0
+
+
+def test_writer_resume_from_provisional_manifest(tmp_path):
+    """A crashed writer leaves a provisional manifest per flush; a resumed
+    writer adopts the flushed prefix and appends after it."""
+    import json
+
+    import numpy as np
+
+    from molvoxel_tpu.data.gridstore import GridShardWriter, read_grid_shards
+
+    rng = np.random.default_rng(0)
+    batches = [rng.normal(size=(4, 2, 8, 8, 8)).astype(np.float32) for _ in range(3)]
+    atoms = [np.full((4,), 7, np.int32) for _ in range(3)]
+
+    # interrupted run: two batches flushed (target_bytes=1 -> flush each),
+    # then "crash" (no finalize)
+    w = GridShardWriter(tmp_path / "s", ["A", "B"], resolution=0.5, dimension=8, target_bytes=1)
+    w.append(batches[0], atoms[0])
+    w.append(batches[1], atoms[1])
+    m = json.loads((tmp_path / "s" / "manifest.json").read_text())
+    assert m["final"] is False and m["num_molecules"] == 8
+
+    # resumed run: skip w.rows, append the rest, finalize
+    w2 = GridShardWriter(tmp_path / "s", ["A", "B"], resolution=0.5, dimension=8,
+                         target_bytes=1, resume=True)
+    assert w2.rows == 8
+    w2.append(batches[2], atoms[2])
+    w2.finalize(12)
+
+    grids, manifest = read_grid_shards(tmp_path / "s")
+    assert manifest["final"] is True and manifest["num_molecules"] == 12
+    np.testing.assert_array_equal(np.asarray(grids), np.concatenate(batches))

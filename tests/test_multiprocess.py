@@ -158,3 +158,69 @@ def test_two_process_stream_end_to_end(tmp_path):
     want_sum, want_n = _reference_sum(sdf, tmp_path)
     assert nmol == want_n == n
     assert abs(total - want_sum) <= 1e-3 * max(abs(want_sum), 1.0), (total, want_sum)
+
+
+def test_two_process_stream_crash_resume(tmp_path):
+    """Fault model: fail-fast crash anywhere + restart with resume=True.
+
+    Phase 1 crashes both workers after their first durably-flushed batch
+    (provisional manifests on disk); phase 2 restarts with resume and must
+    complete the library — skipping what survived — to the same checksum as
+    an uninterrupted single-process run."""
+    import numpy as np
+
+    sdf = tmp_path / "lib.sdf"
+    n = _fixture_sdf(sdf)
+    store = tmp_path / "store"
+
+    def launch(extra):
+        port = _free_port()
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+        }
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(STREAM_WORKER), str(port), str(pid), "2",
+                 str(sdf), str(store), *extra],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+                cwd=str(STREAM_WORKER.parent.parent),
+            )
+            for pid in range(2)
+        ]
+        return [p.communicate(timeout=220)[0] for p in procs], procs
+
+    outs, procs = launch(["1"])  # crash after 1 durable batch
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, out
+        assert "CRASHED" in out, out
+    # provisional manifests exist and hold a whole-batch prefix
+    import json
+
+    for pid in range(2):
+        m = json.loads((store / f"proc-{pid:03d}" / "manifest.json").read_text())
+        assert m.get("final") is False
+        assert m["num_molecules"] > 0 and m["num_molecules"] % 4 == 0
+
+    outs, procs = launch(["0", "resume"])  # restart, no crash
+    total_skipped = 0
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, out
+        assert f"STREAM process={pid}" in out, out
+        total_skipped += int(out.split("skipped=")[1].split()[0])
+    assert total_skipped >= 8  # both prefixes were actually skipped
+
+    from molvoxel_tpu.data.gridstore import read_grid_shards
+
+    total = 0.0
+    nmol = 0
+    for pid in range(2):
+        grids, manifest = read_grid_shards(store / f"proc-{pid:03d}")
+        assert manifest.get("final") is True
+        if manifest["num_molecules"]:
+            total += float(np.asarray(grids, np.float32).sum())
+        nmol += manifest["num_molecules"]
+    want_sum, want_n = _reference_sum(sdf, tmp_path)
+    assert nmol == want_n == n
+    assert abs(total - want_sum) <= 1e-3 * max(abs(want_sum), 1.0), (total, want_sum)
