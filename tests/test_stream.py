@@ -1,6 +1,7 @@
 """Streaming driver tests: batching, consumer, metrics, checkpoint/resume."""
 
 import numpy as np
+import pytest
 
 from molvoxel_tpu.core import GridSpec
 from molvoxel_tpu.parallel import StreamingVoxelizer, make_mesh
@@ -124,3 +125,41 @@ def test_stream_checksum_radii_by_type(tmp_path):
     # and it differs from the scalar-radii checksum (the radii actually bite)
     _, cs_scalar = stream_checksum(iter(batches), spec, chunk=2)
     assert abs(cs - cs_scalar) > 1e-3 * max(abs(cs), 1.0)
+
+
+def test_witness_consumer_checksum_consistency(tmp_path, rng):
+    """The witness consumer (r4 throughput protocol) produces a nonzero
+    checksum that agrees between the wire and 3-array fused steps, and the
+    full-read checksum strictly exceeds it (it sums every grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from molvoxel_tpu.core import GridSpec
+    from molvoxel_tpu.data.feed import pack_wire, wire_scale
+    from molvoxel_tpu.data.pipeline import PaddedBatch
+    from molvoxel_tpu.parallel.stream import _fused_scan_step, _fused_scan_step_wire
+
+    spec = GridSpec(resolution=0.5, dimension=16)
+    b, vp = 8, 64
+    coords = rng.uniform(-3, 3, (b, vp, 3)).astype(np.float32)
+    types = rng.integers(0, 4, (b, vp)).astype(np.int8)
+    types[:, -8:] = -1
+    kwargs = dict(chunk=4, num_channels=4, radii_value=1.0, random_translation=0.0,
+                  spec=spec, density_type="gaussian", sigma=0.5, random_rotation=False,
+                  out_dtype="float32")
+    key = jax.random.PRNGKey(0)
+    zc = jnp.zeros((b, 3), jnp.float32)
+
+    full = float(_fused_scan_step(jnp.asarray(coords), jnp.asarray(types), zc, key,
+                                  jnp.int32(0), **kwargs))
+    wit = float(_fused_scan_step(jnp.asarray(coords), jnp.asarray(types), zc, key,
+                                 jnp.int32(0), witness=True, **kwargs))
+    assert 0 < wit < full
+
+    scale = wire_scale(spec)
+    batch = PaddedBatch(coords, None, types >= 0, None, None,
+                        np.full((b,), vp, np.int32), types=types, num_channels=4)
+    wit_wire = float(_fused_scan_step_wire(jnp.asarray(pack_wire(batch, scale)), key,
+                                           jnp.int32(0), witness=True,
+                                           inv_scale=1.0 / scale, **kwargs))
+    assert wit_wire == pytest.approx(wit, rel=1e-3)
