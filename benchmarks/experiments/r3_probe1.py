@@ -136,7 +136,7 @@ if __name__ == "__main__":
     us, rate = measure(make_loop(v5, "bfloat16"))
     print(f"v5  bf16: {us:7.2f} us/mol  {rate:9.0f} mols/s")
 
-    from benchmarks.experiments import _snapshot_2a as s2a
+    from benchmarks.experiments.snapshots import kernel_round2a_frozen as s2a
 
     us, rate = measure(make_loop(s2a.voxelize_pallas_batch, "bfloat16"))
     print(f"2a  bf16: {us:7.2f} us/mol  {rate:9.0f} mols/s")
