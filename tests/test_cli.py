@@ -171,3 +171,21 @@ def test_voxelize_xyz_input(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["molecules"] == 1 and out["shape"] == [1, 3, 16, 16, 16]
+
+
+def test_voxelize_throughput_full_read_flag(tmp_path, capsys):
+    """--full-read restores the every-grid-summed consumer (pre-r4 protocol);
+    both protocols must run and count the same molecules."""
+    rec = open(REF_LIGAND).read()
+    if not rec.endswith("\n"):
+        rec += "\n"
+    p = tmp_path / "lib.sdf"
+    p.write_text(rec * 4)
+    for extra in ([], ["--full-read"]):
+        rc = main(
+            ["voxelize", str(p), "--throughput", "--wire", "--dimension", "16",
+             "--channels", "C,N,O,S", "--batch", "4", *extra]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["molecules"] == 4
