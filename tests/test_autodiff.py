@@ -337,3 +337,118 @@ def test_batched_pallas_grad_protein_scale(rng):
         gp = np.asarray(jax.grad(loss("pallas"), argnums=argnum)(*args))
         gd = np.asarray(jax.grad(loss("dense"), argnums=argnum)(*args))
         np.testing.assert_allclose(gp, gd, atol=6e-4, err_msg=f"argnum={argnum}")
+
+def test_channelwise_backward_kernel_matches_dense(rng):
+    """Channel-wise radii VJP runs through the virtual-atom expansion on the
+    Pallas backward kernel (no dense replay) and matches the dense-path VJP
+    at multi-chunk scale (V=512 -> C*V=1536 virtual atoms)."""
+    from molvoxel_tpu.ops.dense import voxelize_dense_channelwise
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_bwd_batch_channelwise
+
+    v, vp, c = 400, 512, 3
+    coords = jnp.asarray(rng.uniform(-3.5, 3.5, (vp, 3)).astype(np.float32))
+    weights = jnp.asarray(rng.uniform(0.1, 1.0, (vp, c)).astype(np.float32))
+    radii = jnp.asarray(np.array([0.9, 1.2, 1.5], np.float32))
+    mask = jnp.asarray(np.arange(vp) < v)
+    ct = jnp.asarray(rng.normal(size=(1, c, 16, 16, 16)).astype(np.float32))
+
+    dc, dw, dr = voxelize_pallas_bwd_batch_channelwise(
+        coords[None], weights[None], radii, ct,
+        spec=SPEC16, density_type="gaussian", sigma=0.5, mask=mask[None],
+    )
+
+    def f(crd, w, r):
+        return voxelize_dense_channelwise(
+            crd, w, r, spec=SPEC16, density_type="gaussian", sigma=0.5, mask=mask
+        )
+
+    _, vjp = jax.vjp(f, coords, weights, radii)
+    ec, ew, er = vjp(ct[0])
+    np.testing.assert_allclose(np.asarray(dc[0]), np.asarray(ec), atol=6e-4)
+    np.testing.assert_allclose(np.asarray(dw[0]), np.asarray(ew), atol=6e-4)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(er), rtol=2e-4, atol=6e-4)
+
+
+def test_channelwise_grad_through_voxelize(rng):
+    """jax.grad of a channel-wise pallas voxelization routes through the
+    expansion backward (ops/autodiff._bwd channelwise branch) and matches
+    the dense path end to end."""
+    v, vp, c = 200, 256, 2
+    coords = jnp.asarray(rng.uniform(-2.5, 2.5, (vp, 3)).astype(np.float32))
+    weights = jnp.asarray(rng.uniform(0.1, 1.0, (vp, c)).astype(np.float32))
+    radii = jnp.asarray(np.array([1.0, 1.4], np.float32))
+    mask = jnp.asarray(np.arange(vp) < v)
+    target = jnp.asarray(rng.normal(size=(c, 16, 16, 16)).astype(np.float32))
+
+    def loss_impl(impl):
+        def loss(crd, w, r):
+            out = voxelize(crd, w, r, spec=SPEC16, density_type="gaussian", sigma=0.5,
+                           mask=mask, impl=impl, channelwise_radii=True)
+            return jnp.sum(out * target)
+
+        return loss
+
+    for argnum in (0, 1, 2):
+        gp = np.asarray(jax.grad(loss_impl("pallas"), argnums=argnum)(coords, weights, radii))
+        gd = np.asarray(jax.grad(loss_impl("dense"), argnums=argnum)(coords, weights, radii))
+        np.testing.assert_allclose(gp, gd, atol=5e-4, err_msg=f"argnum={argnum}")
+
+
+@pytest.mark.parametrize("density", ["gaussian", "binary"])
+def test_backward_lowp_tracks_f32(rng, density):
+    """The backward's bf16 lane (bf16 cotangent block + single-pass matmuls)
+    tracks the f32 kernel within the 2^-8 budget — the training path when
+    the forward produced bf16/fp8 grids."""
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_bwd_batch
+
+    v, vp, c = 100, 128, 2
+    coords = np.zeros((vp, 3), np.float32)
+    coords[:v] = rng.uniform(-2.5, 2.5, (v, 3))
+    weights = np.zeros((vp, c), np.float32)
+    weights[:v] = rng.uniform(0.1, 1.0, (v, c))
+    radii = jnp.ones((vp,), jnp.float32)
+    mask = jnp.asarray(np.arange(vp) < v)
+    ct = jnp.asarray(rng.normal(size=(1, c, 16, 16, 16)).astype(np.float32))
+
+    args = (jnp.asarray(coords)[None], jnp.asarray(weights)[None], radii, ct)
+    kw = dict(spec=SPEC16, density_type=density, sigma=0.5, mask=mask[None])
+    dc32, dw32, dr32 = voxelize_pallas_bwd_batch(*args, **kw)
+    dcl, dwl, drl = voxelize_pallas_bwd_batch(*args, lowp=True, **kw)
+    for g32, gl in ((dc32, dcl), (dw32, dwl), (dr32, drl)):
+        g32, gl = np.asarray(g32), np.asarray(gl)
+        scale = max(np.abs(g32).max(), 1e-6)
+        np.testing.assert_allclose(gl, g32, atol=3e-2 * scale)
+
+
+def test_batched_grad_bf16_out_uses_lowp(rng):
+    """jax.grad through the batched pallas path with a bf16 grid output runs
+    (the lowp backward) and stays within bf16 tolerance of the dense VJP."""
+    import molvoxel_tpu.ops.batch as ob
+
+    b, vp, v, c = 2, 128, 20, 3
+    coords = np.zeros((b, vp, 3), np.float32)
+    coords[:, :v] = rng.uniform(-2.5, 2.5, (b, v, 3))
+    weights = np.zeros((b, vp, c), np.float32)
+    weights[:, :v] = rng.uniform(size=(b, v, c))
+    mask = np.zeros((b, vp), bool)
+    mask[:, :v] = True
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    target = jnp.asarray(rng.normal(size=(b, c, 16, 16, 16)).astype(np.float32))
+
+    def loss(impl, out_dtype):
+        def f(crd, w, r):
+            out = ob.voxelize_batch(
+                crd, w, r, jnp.asarray(mask), None, keys, 0.0,
+                spec=SPEC16, density_type="gaussian", sigma=0.5, impl=impl,
+                out_dtype=out_dtype,
+            )
+            return jnp.sum(out.astype(jnp.float32) * target)
+
+        return f
+
+    args = (jnp.asarray(coords), jnp.asarray(weights), jnp.ones((vp,), jnp.float32))
+    for argnum in (0, 1, 2):
+        gp = np.asarray(jax.grad(loss("pallas", "bfloat16"), argnums=argnum)(*args))
+        gd = np.asarray(jax.grad(loss("dense", "float32"), argnums=argnum)(*args))
+        scale = max(np.abs(gd).max(), 1e-6)
+        np.testing.assert_allclose(gp, gd, atol=3e-2 * scale, err_msg=f"argnum={argnum}")

@@ -24,6 +24,8 @@ Checks, all on the CURRENT jax backend (the real chip under the axon tunnel):
    - the int16 wire-format stream step vs the 3-array step,
    - gaussian_notrunc on the PRUNED kernel vs the separable path (r4),
    - the Pallas BACKWARD kernel vs the dense-path VJP (r4),
+   - the backward bf16 (lowp) lane vs the f32 backward (r5),
+   - the channel-wise backward via virtual-atom expansion vs dense (r5),
    - (--big) a 256^3 depth slab, where whole-row tiles exceed VMEM and the
      kernel must stream (hwt_rows=None path), plus the FULL 256^3
      depth-slab assembly driver (r4).
@@ -211,6 +213,52 @@ def kernel_checks(big: bool) -> dict:
         np.abs(np.asarray(dr) - np.asarray(er)).max(),
     )
     record("backward_kernel", err_b, 5e-3)  # grads scale with cotangent magnitude
+
+    # 9b. backward bf16 (lowp) lane vs the f32 backward kernel (r5): bf16
+    #     cotangent block + single-pass matmuls must track within ~2^-8 of
+    #     the gradient scale
+    dcl, dwl, drl = voxelize_pallas_bwd_batch(
+        coords, weights, radii_v, ct, spec=spec_b, density_type="gaussian",
+        sigma=0.5, mask=mask, lowp=True,
+    )
+    gscale = max(
+        float(np.abs(np.asarray(dc)).max()),
+        float(np.abs(np.asarray(dw)).max()),
+        float(np.abs(np.asarray(dr)).max()),
+        1.0,
+    )
+    err_l = max(
+        np.abs(np.asarray(dcl) - np.asarray(dc)).max(),
+        np.abs(np.asarray(dwl) - np.asarray(dw)).max(),
+        np.abs(np.asarray(drl) - np.asarray(dr)).max(),
+    )
+    record("backward_lowp_lane", err_l, 3e-2 * gscale)
+
+    # 9c. channel-wise backward through the virtual-atom expansion (r5)
+    #     vs the dense channel-wise VJP
+    from molvoxel_tpu.ops.dense import voxelize_dense_channelwise
+    from molvoxel_tpu.ops.pallas_deposit import voxelize_pallas_bwd_batch_channelwise
+
+    coords_cw, weights_cw, mask_cw = _random_case(rng, 256, 4, spec_b.width / 2)
+    radii_cw = jnp.asarray([0.9, 1.1, 1.3, 1.6], jnp.float32)
+    dcc, dwc, drc = voxelize_pallas_bwd_batch_channelwise(
+        coords_cw, weights_cw, radii_cw, ct, spec=spec_b, density_type="gaussian",
+        sigma=0.5, mask=mask_cw,
+    )
+
+    def fdense_cw(c, w, r):
+        return voxelize_dense_channelwise(
+            c, w, r, spec=spec_b, density_type="gaussian", sigma=0.5, mask=mask_cw[0]
+        )
+
+    _, vjp_cw = jax.vjp(fdense_cw, coords_cw[0], weights_cw[0], radii_cw)
+    ecc, ewc, erc = vjp_cw(ct[0])
+    err_cw = max(
+        np.abs(np.asarray(dcc[0]) - np.asarray(ecc)).max(),
+        np.abs(np.asarray(dwc[0]) - np.asarray(ewc)).max(),
+        np.abs(np.asarray(drc) - np.asarray(erc)).max(),
+    )
+    record("backward_channelwise", err_cw, 5e-3)
 
     if big:
         # 5. 256^3 depth slab: whole-row tiles exceed VMEM -> streamed path
