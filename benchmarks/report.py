@@ -149,7 +149,8 @@ def measure(coords, feats, dim, batch, density, out_dtype="float32", d_count=Non
     return max(per, 1e-9)
 
 
-def measure_backward(coords, feats, dim, batch):
+def measure_backward(coords, feats, dim, batch, out_dtype="float32",
+                     channelwise=False, radii_c=None):
     """(fwd_us, step_us) per molecule: forward-only vs forward+gradient step.
 
     Both run the PRODUCTION batch path (ops/batch.py -> batched custom_vjp
@@ -157,10 +158,13 @@ def measure_backward(coords, feats, dim, batch):
     measure(): random rotation per iteration, witness consumer on the
     forward; the gradient step's loss reads the grids against a resident
     cotangent (what a real training loss does) and returns per-atom grads
-    for coords/weights/radii."""
+    for coords/weights/radii.  out_dtype="bfloat16" exercises the lowp
+    training lane end to end (bf16 grids forward, bf16 cotangent block +
+    single-pass matmuls backward); channelwise routes both directions
+    through the virtual-atom expansion."""
     spec = GridSpec(0.5, dim)
     bc, bw, mask, vp = pad_batch(coords, feats, batch)
-    radii = jnp.ones((vp,), jnp.float32)
+    radii = jnp.asarray(radii_c) if radii_c is not None else jnp.ones((vp,), jnp.float32)
     ct = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, feats.shape[1], dim, dim, dim)).astype(np.float32)
     )
@@ -170,7 +174,8 @@ def measure_backward(coords, feats, dim, batch):
             out = voxelize_batch(crd, w, r, mask, None, keys, 0.5,
                                  spec=spec, density_type="gaussian", sigma=0.5,
                                  random_rotation=True, impl="pallas",
-                                 materialize=True)
+                                 materialize=True, out_dtype=out_dtype,
+                                 channelwise=channelwise)
             return jnp.sum(out * ct)
 
         vg = jax.value_and_grad(loss, argnums=(0, 1, 2))
@@ -185,7 +190,8 @@ def measure_backward(coords, feats, dim, batch):
                 out = voxelize_batch(bc, bw, radii, mask, None, keys, 0.5,
                                      spec=spec, density_type="gaussian", sigma=0.5,
                                      random_rotation=True, impl="pallas",
-                                     materialize=True)
+                                     materialize=True, out_dtype=out_dtype,
+                                     channelwise=channelwise)
                 return acc + jnp.sum(out[:1].astype(jnp.float32)) * 1e-6
             return jax.lax.fori_loop(0, n, body, 0.0)
 
@@ -287,19 +293,31 @@ def main():
           f"{per_full*1e6:9.1f} us/mol ({1.0/per_full:,.0f} mols/s)", flush=True)
 
     # backward (gradient deposit) rows: the Pallas VJP kernel, ligand +
-    # protein scale — the reference has no backward at all (@no_grad)
+    # protein scale, in BOTH training dtypes (bf16 grids select the lowp
+    # backward: bf16 cotangent block + single-pass matmuls) — the reference
+    # has no backward at all (@no_grad).  Plus the channel-wise training row
+    # through the virtual-atom expansion backward (r5).
     bwd_rows = []
-    for bname in ("ligand 64^3 x4ch", "protein 48^3 x4ch (3.3k atoms)",
-                  "protein 128^3 x4ch (3.3k atoms)"):
+    bwd_jobs = [
+        ("ligand 64^3 x4ch", "float32", {}),
+        ("ligand 64^3 x4ch", "bfloat16", {}),
+        ("protein 48^3 x4ch (3.3k atoms)", "float32", {}),
+        ("protein 48^3 x4ch (3.3k atoms)", "bfloat16", {}),
+        ("protein 128^3 x4ch (3.3k atoms)", "float32", {}),
+        ("protein 128^3 x4ch (3.3k atoms)", "bfloat16", {}),
+        ("ligand 64^3 x4ch channel-wise radii", "bfloat16",
+         {"channelwise": True, "radii_c": np.asarray([0.9, 1.1, 1.3, 1.6], np.float32)}),
+    ]
+    for bname, bdtype, bextra in bwd_jobs:
         brow = next(r for r in load_cases() if r[0] == bname)
         try:
             fwd_us, step_us = measure_backward(brow[1].astype(np.float32), brow[2], brow[3],
-                                               min(brow[4], 8))
-            bwd_rows.append((bname, fwd_us, step_us))
-            print(f"{bname:38s} fwd+grad step {step_us:9.1f} us/mol (fwd {fwd_us:.1f}, "
-                  f"{step_us/fwd_us:.2f}x)", flush=True)
+                                               min(brow[4], 8), out_dtype=bdtype, **bextra)
+            bwd_rows.append((bname, bdtype, fwd_us, step_us))
+            print(f"{bname:38s} {bdtype:9s} fwd+grad step {step_us:9.1f} us/mol "
+                  f"(fwd {fwd_us:.1f}, {step_us/fwd_us:.2f}x)", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"{bname} backward FAILED: {str(e)[:100]}", flush=True)
+            print(f"{bname} {bdtype} backward FAILED: {str(e)[:100]}", flush=True)
 
     stream_row = None
     if stream_path:
@@ -351,11 +369,12 @@ def main():
             "dL/dweights, dL/dradii through the Pallas backward kernel — vs the",
             "forward-only producer rate, same augmented batch-path harness:",
             "",
-            "| workload | forward us/mol | fwd+grad step us/mol | step/fwd |",
-            "|---|---:|---:|---:|",
+            "| workload | grid dtype | forward us/mol | fwd+grad step us/mol | step/fwd |",
+            "|---|---|---:|---:|---:|",
         ]
-        for bname, fwd_us, step_us in bwd_rows:
-            lines.append(f"| {bname} | {fwd_us:.1f} | {step_us:.1f} | {step_us/fwd_us:.2f}x |")
+        for bname, bdtype, fwd_us, step_us in bwd_rows:
+            lines.append(f"| {bname} | {bdtype} | {fwd_us:.1f} | {step_us:.1f} | "
+                         f"{step_us/fwd_us:.2f}x |")
         lines.append("")
     if stream_row:
         lines += [

@@ -335,7 +335,7 @@ def _run_throughput(args, spec, paths, symbols) -> int:
             random_translation=args.random_translation,
             random_rotation=args.random_rotation, out_dtype=args.out_dtype,
             seed=seed, presorted=args.presort, wire=args.wire,
-            witness=not args.full_read,
+            witness=not args.full_read, prefetch_depth=args.prefetch_depth,
         )
         return stats, time.time() - t0, checksum
 
@@ -406,6 +406,8 @@ def main(argv=None) -> int:
     pv.add_argument("--seed", type=int, default=0)
     pv.add_argument("--workers", type=int, default=2, help="parser threads for the vectorized SDF feeder")
     pv.add_argument("--chunk", type=int, default=256, help="in-graph scan chunk for --throughput")
+    pv.add_argument("--prefetch-depth", type=int, default=2,
+                    help="--throughput --wire: staged superbatches in flight ahead of dispatch")
     pv.add_argument(
         "--out-dtype", default="float32",
         choices=["float32", "bfloat16", "float8_e4m3fn"],

@@ -739,7 +739,7 @@ def voxelize_pallas_batch(
 
 
 def _run_v5(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_count, hwt,
-            out_dtype: str = "float32", notrunc: bool = False):
+            out_dtype: str = "float32", notrunc: bool = False, lowp: bool | None = None):
     """v5 launch: per-atom rows only; axis factors rebuilt in-kernel.
 
     XLA-side prep is O(V): shift x by the depth slab, transpose weights,
@@ -802,7 +802,10 @@ def _run_v5(coords, weights, radii, mask, spec, gaussian, sigma, d_offset, d_cou
     )
 
     scratch = [pltpu.VMEM((ct, dl, hwt), jnp.float32)] if cast else []
-    lowp = cast  # bf16 out -> bf16-input matmul: quantization floor already 2^-8
+    if lowp is None:
+        lowp = cast  # bf16 out -> bf16-input matmul: quantization floor already 2^-8
+    # (explicit lowp is a measurement-only override — benchmarks/experiments/
+    # r5_f32_probe.py uses f32-out + bf16-matmul to decompose the f32 lane)
     kernel = functools.partial(
         _kernel_v5, gaussian=gaussian, dl=dl, a=a, ct=ct, hwt=hwt, hrows=hrows, dim=dim,
         res=res, half_width=half_width, nvc=nvc, out_dtype=odt, lowp=lowp,
@@ -955,7 +958,13 @@ def _kernel_v5_bwd(range_ref, atom_ref, wt_ref, ct_ref, gw_ref, gc_ref, *,
         wt = wt_ref[0]  # (cp, A)
         # voxel-position weight columns over the tile, for the moment sums —
         # built from a flat (hwt, 1) iota via div/mod (a (hrows, dim) ->
-        # (hwt, 1) reshape is an unsupported Mosaic shape cast)
+        # (hwt, 1) reshape is an unsupported Mosaic shape cast).  Rewriting
+        # the five moment reductions as one thin-M (8, hwt) @ (hwt, A) MXU
+        # matmul was built and measured SLOWER (+5-11% on every protein row,
+        # r5_bwd_probe A/B) — thin-M matmul issues are launch-bound and the
+        # VPU passes overlap the MXU; it also needs a bf16-hi+lo basis split
+        # to survive the m2 cancellation (single-bf16 basis failed the
+        # on-device gate at 3.0 err).  Rejected; see docs/DESIGN.md 5b.
         flat = jax.lax.broadcasted_iota(jnp.int32, (hwt, 1), 0)
         wy = ((flat // dim) + ht * hrows).astype(jnp.float32) * res - half_width
         wz = (flat % dim).astype(jnp.float32) * res - half_width
@@ -1017,7 +1026,8 @@ def _kernel_v5_bwd(range_ref, atom_ref, wt_ref, ct_ref, gw_ref, gc_ref, *,
                     ct, wt_mm, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
                 )  # (hwt, A)
-            t = fyz * q
+            t = fyz * q  # (hwt, A); f32 (q stays f32 — the moment sums
+            # cancel large terms, docstring above)
             m0 = jnp.sum(t, axis=0, keepdims=True)  # (1, A)
             m1y = jnp.sum(t * wy, axis=0, keepdims=True)
             m2yy = jnp.sum(t * (wy * wy), axis=0, keepdims=True)

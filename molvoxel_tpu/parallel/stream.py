@@ -392,6 +392,7 @@ def stream_checksum(
     presorted: bool = False,
     wire: bool = False,
     witness: bool = False,
+    prefetch_depth: int = 2,
 ) -> tuple[StreamStats, float]:
     """Drive compact superbatches through the fused step; return a checksum.
 
@@ -416,7 +417,10 @@ def stream_checksum(
     array (data/feed.py pack_wire, ~0.5 mÅ quantization) and stage its
     device transfer from a prefetch thread, so packing + H2D overlap the
     previous superbatch's device work — host cost per superbatch drops to
-    1 staged transfer + 1 dispatch.
+    1 staged transfer + 1 dispatch.  ``prefetch_depth`` bounds how many
+    staged superbatches may be in flight ahead of the dispatch loop
+    (measured flat 2 vs 4 on this host — docs/DESIGN.md 5a — but exposed
+    for hosts with more cores).
     """
     import jax.numpy as jnp
 
@@ -448,7 +452,9 @@ def stream_checksum(
                 dev = jax.device_put(pack_wire(batch, scale))  # async H2D off-thread
                 yield dev, int((batch.num_atoms > 0).sum()), batch.num_channels
 
-        for step, (dev, nmol, num_channels) in enumerate(prefetch_iter(staged(), depth=2)):
+        for step, (dev, nmol, num_channels) in enumerate(
+            prefetch_iter(staged(), depth=prefetch_depth)
+        ):
             accs.append(
                 _fused_scan_step_wire(
                     dev, key, jnp.int32(step),
