@@ -56,7 +56,10 @@ def load_ligand():
 def measure(variant: str, coords, feats) -> float:
     spec = GridSpec(resolution=0.5, dimension=DIM)
     v, c = feats.shape
-    vp = small_atom_bucket(v)
+    # _run_v5 is called directly (below the packing layer), so Vp must be a
+    # 128-multiple; absolute rates are therefore ~the unpacked lane, but the
+    # A/B/C *differences* are the decomposition of interest
+    vp = max(small_atom_bucket(v), 128)
     bc = np.zeros((BATCH, vp, 3), np.float32)
     bw = np.zeros((BATCH, vp, c), np.float32)
     bc[:, :v] = coords[None]

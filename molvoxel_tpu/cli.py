@@ -405,8 +405,11 @@ def main(argv=None) -> int:
     pv.add_argument("--random-rotation", action="store_true")
     pv.add_argument("--seed", type=int, default=0)
     pv.add_argument("--workers", type=int, default=2, help="parser threads for the vectorized SDF feeder")
-    pv.add_argument("--chunk", type=int, default=256, help="in-graph scan chunk for --throughput")
-    pv.add_argument("--prefetch-depth", type=int, default=2,
+    # defaults from the r5 witness-ladder sweep (docs/DESIGN.md 5a): chunk
+    # 1024 + depth 4 measured 74.7k vs 65-69k at the old 256/2 on the
+    # 50k-ligand fixture; chunk is clamped to the superbatch size
+    pv.add_argument("--chunk", type=int, default=1024, help="in-graph scan chunk for --throughput")
+    pv.add_argument("--prefetch-depth", type=int, default=4,
                     help="--throughput --wire: staged superbatches in flight ahead of dispatch")
     pv.add_argument(
         "--out-dtype", default="float32",
