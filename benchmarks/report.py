@@ -418,6 +418,20 @@ def main():
         "Pipelines that keep grids on-device (training, gridstore, stream) are",
         "unaffected; they are the supported high-throughput surfaces.",
         "",
+        "Deployment-shape row (benchmarks/experiments/r5_deploy_probe.py — same",
+        "48^3 complex workload, but grids stream to a gridstore with the flush",
+        "overlapping the next dispatch, the supported topology): fp8 single-",
+        "channel **168 mols/s = 5.96 ms/vox**, beating the reference's 10.09",
+        "ms/vox on its own workload; bf16 single 59-111 mols/s; 8-channel",
+        "features 13-26 mols/s (still bound by this host's ~25 MB/s D2H tunnel —",
+        "rates scale with grid bytes; docs/DESIGN.md 5d).  On TPU-VM PCIe the",
+        "same path is compute-bound at ~13k mols/s.",
+        "",
+        "GridStore -> training input (benchmarks/experiments/",
+        "r5_gridstore_probe.py; GridStoreDataset + shuffling torch DataLoader,",
+        "64^3 x4ch, steady state): fp8 shards 1,064 grids/s, bf16 858, f32 305 —",
+        "the capacity-lane payoff of the low-precision stores (DESIGN 4c/5d).",
+        "",
     ]
     out.write_text("\n".join(lines))
     print(f"\nwrote {out}")
