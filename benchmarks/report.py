@@ -373,9 +373,23 @@ def main():
             "|---|---|---:|---:|---:|",
         ]
         for bname, bdtype, fwd_us, step_us in bwd_rows:
-            lines.append(f"| {bname} | {bdtype} | {fwd_us:.1f} | {step_us:.1f} | "
-                         f"{step_us/fwd_us:.2f}x |")
-        lines.append("")
+            # ligand-scale forwards sit at the harness's dispatch-noise floor;
+            # a ratio against them is meaningless
+            if fwd_us < 8.0:
+                lines.append(f"| {bname} | {bdtype} | {fwd_us:.1f} (noise-floored) | "
+                             f"{step_us:.1f} | — |")
+            else:
+                lines.append(f"| {bname} | {bdtype} | {fwd_us:.1f} | {step_us:.1f} | "
+                             f"{step_us/fwd_us:.2f}x |")
+        lines += [
+            "",
+            "The bf16 rows run the lowp backward (bf16 cotangent block + single-",
+            "pass matmuls; docs/DESIGN.md 5b); the channel-wise row runs both",
+            "directions through the virtual-atom expansion.  step/fwd stays ~5-6x",
+            "on protein bf16 because the bf16 *forward* is ~3x faster in the same",
+            "harness — absolute training cost is the metric that moved.",
+            "",
+        ]
     if stream_row:
         lines += [
             f"Stream-from-disk end to end ({stream_row['molecules']:,} molecules, "
