@@ -145,6 +145,21 @@ def kernel_checks(big: bool) -> dict:
 
     record("channelwise_expansion", np.abs(run_cw("pallas") - run_cw("dense")).max(), 1e-5)
 
+    # 6b. separable channel-wise batch lane (the gaussian_notrunc x
+    #     channel-wise route, ops/separable.py:119) vs the independent dense
+    #     channel-wise path — pure-XLA on-chip, not reachable by any golden
+    from molvoxel_tpu.ops.dense import voxelize_dense_channelwise as _dense_cw
+    from molvoxel_tpu.ops.separable import voxelize_separable_batch_channelwise
+
+    s_cw = np.asarray(voxelize_separable_batch_channelwise(
+        coords, weights, radii_c, spec=spec_cw, sigma=0.5, mask=mask,
+    ))
+    d_cw = np.asarray(_dense_cw(
+        coords[0], weights[0], radii_c, spec=spec_cw, density_type="gaussian_notrunc",
+        sigma=0.5, mask=mask[0],
+    ))
+    record("separable_channelwise", np.abs(s_cw[0] - d_cw).max(), 2e-5)
+
     # 7. int16 wire-format stream step vs the 3-array step (quantization only)
     from molvoxel_tpu.data.feed import pack_wire, wire_scale
     from molvoxel_tpu.data.pipeline import PaddedBatch
