@@ -167,7 +167,7 @@ def main() -> int:
         "construction, so per-device efficiency ~1/d is a host artifact — "
         "the multiprocess rows are the meaningful scaling evidence here",
     }
-    path = REPO / "SCALING_r04.json"
+    path = REPO / os.environ.get("SCALING_ARTIFACT", "SCALING_r05.json")
     path.write_text(json.dumps(artifact, indent=2) + "\n")
     print(json.dumps(artifact))
     print(f"wrote {path}", file=sys.stderr)
