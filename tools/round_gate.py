@@ -249,6 +249,27 @@ def kernel_checks(big: bool) -> dict:
     )
     record("backward_lowp_lane", err_l, 3e-2 * gscale)
 
+    # 9b2. backward on a depth SLAB (d_offset/d_count — the depth-sharded
+    #      training unit): slab cotangent in, gradients must match the dense
+    #      slab VJP
+    dcs, dws, drs = voxelize_pallas_bwd_batch(
+        coords, weights, radii_v, ct[:, :, 8:24], spec=spec_b, density_type="gaussian",
+        sigma=0.5, mask=mask, d_offset=8, d_count=16,
+    )
+
+    def fdense_slab(c, w, r):
+        return voxelize_dense(c, w, r, spec=spec_b, density_type="gaussian", sigma=0.5,
+                              mask=mask[0], d_offset=8, d_count=16)
+
+    _, vjp_s = jax.vjp(fdense_slab, coords[0], weights[0], radii_v)
+    ecs, ews, ers = vjp_s(ct[0, :, 8:24])
+    err_s = max(
+        np.abs(np.asarray(dcs[0]) - np.asarray(ecs)).max(),
+        np.abs(np.asarray(dws[0]) - np.asarray(ews)).max(),
+        np.abs(np.asarray(drs) - np.asarray(ers)).max(),
+    )
+    record("backward_depth_slab", err_s, 5e-3)
+
     # 9c. channel-wise backward through the virtual-atom expansion (r5)
     #     vs the dense channel-wise VJP
     from molvoxel_tpu.ops.dense import voxelize_dense_channelwise
