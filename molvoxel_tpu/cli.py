@@ -341,27 +341,33 @@ def _run_throughput(args, spec, paths, symbols) -> int:
 
     print("warmup pass (compiles cached under .jax_cache) ...", file=sys.stderr)
     one_pass(0)
-    stats, wall, checksum = one_pass(1)
-    print(
-        json.dumps(
-            {
-                "metric": "stream_from_disk_mols_per_s",
-                "value": round(stats.molecules / wall, 1),
-                "unit": "mols/s",
-                "molecules": int(stats.molecules),
-                "superbatches": int(stats.batches),
-                "superbatch": superbatch,
-                "chunk": chunk,
-                "wall_s": round(wall, 3),
-                "out_dtype": args.out_dtype,
-                "density": args.density,
-                "dimension": args.dimension,
-                "workers": args.workers,
-                "wire": bool(args.wire),
-                "checksum": checksum,
-            }
-        )
-    )
+    # the timed window per pass is short (~1 s on a 50k library), so single
+    # passes swing 5-20% with host scheduling weather (BENCHMARKS.md stream
+    # note); --trials N reports the best pass plus the full spread
+    results = [one_pass(1 + t) for t in range(max(args.trials, 1))]
+    rates = [s.molecules / w for s, w, _ in results]
+    best = int(np.argmax(rates))
+    stats, wall, checksum = results[best]
+    payload = {
+        "metric": "stream_from_disk_mols_per_s",
+        "value": round(stats.molecules / wall, 1),
+        "unit": "mols/s",
+        "molecules": int(stats.molecules),
+        "superbatches": int(stats.batches),
+        "superbatch": superbatch,
+        "chunk": chunk,
+        "wall_s": round(wall, 3),
+        "out_dtype": args.out_dtype,
+        "density": args.density,
+        "dimension": args.dimension,
+        "workers": args.workers,
+        "wire": bool(args.wire),
+        "checksum": checksum,
+    }
+    if len(results) > 1:
+        payload["trials"] = [round(r, 1) for r in rates]
+        payload["median_mols_per_s"] = round(float(np.median(rates)), 1)
+    print(json.dumps(payload))
     return 0
 
 
@@ -447,6 +453,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="--throughput: consume every grid with a full on-device sum instead of the "
         "witness read — bills an extra HBM re-read of all grids (the pre-r4 protocol)",
+    )
+
+    pv.add_argument(
+        "--trials", type=int, default=1,
+        help="--throughput: timed passes after warmup; reports the best plus the "
+        "spread (single ~1 s passes swing 5-20%% with host scheduling weather)",
     )
 
     sub.add_parser("bench", help="run the headline benchmark")

@@ -143,6 +143,23 @@ def test_voxelize_multi_file_throughput(tmp_path, capsys):
     assert out["molecules"] == 7
 
 
+def test_voxelize_throughput_trials(tmp_path, capsys):
+    rec = open(REF_LIGAND).read()
+    if not rec.endswith("\n"):
+        rec += "\n"
+    p = tmp_path / "lib.sdf"
+    p.write_text(rec * 4)
+    rc = main(
+        ["voxelize", str(p), "--throughput", "--wire", "--dimension", "16",
+         "--channels", "C,N,O,S", "--batch", "4", "--trials", "2"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["trials"]) == 2
+    assert out["value"] == max(out["trials"])  # best pass reported as the value
+    assert out["median_mols_per_s"] > 0
+
+
 def test_voxelize_gz_and_multi_file_grids(tmp_path, capsys):
     import gzip
 
